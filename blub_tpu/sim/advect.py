@@ -114,7 +114,7 @@ def g2p_apic(s: StaggeredSamples):
     # stores these columns directly as its per-component transfer rows
     # (advect_particles.comp:185 writes vec4(cx, v.x)), i.e. it transfers with
     # C^T. Correct APIC needs row c = grad(v_c), so affine[p, comp, axis]:
-    affine = jnp.stack([cx, cy, cz], axis=2)  # [N, comp, axis]
+    affine = jnp.stack([cx, cy, cz], axis=-1)  # [..., comp, axis]
     return velocity, affine
 
 
@@ -124,9 +124,9 @@ def _rk4(s: StaggeredSamples, velocity: jax.Array, dt: float) -> jax.Array:
     def probe(step):
         return _trilinear(
             s,
-            jnp.clip(s.ix + step[:, 0:1], 0.0, 1.0),
-            jnp.clip(s.iy + step[:, 1:2], 0.0, 1.0),
-            jnp.clip(s.iz + step[:, 2:3], 0.0, 1.0),
+            jnp.clip(s.ix + step[..., 0:1], 0.0, 1.0),
+            jnp.clip(s.iy + step[..., 1:2], 0.0, 1.0),
+            jnp.clip(s.iz + step[..., 2:3], 0.0, 1.0),
         )
 
     k1 = velocity
@@ -202,7 +202,7 @@ def advect_particles(
         penetrates = out_of_bounds
 
     direction, max_step, _ = _clamp_step_to_cell(pos, movement)
-    clamped_movement = direction * max_step[:, None]
+    clamped_movement = direction * max_step[..., None]
 
     if solid_occupancy is not None:
         # "Stuck" case: target cell equals the current cell -> occupancy-gradient
@@ -222,7 +222,7 @@ def advect_particles(
         clamped_movement = clamped_movement + jnp.where((stuck & penetrates)[:, None], push, 0.0)
 
     corrected_pos = jnp.clip(pos + clamped_movement, 1.001, grid_max)
-    corrected_vel = direction * (max_step / dt)[:, None]
+    corrected_vel = direction * (max_step / dt)[..., None]
 
     new_pos = jnp.where(penetrates[:, None], corrected_pos, new_pos)
     velocity = jnp.where(penetrates[:, None], corrected_vel, velocity)

@@ -1,0 +1,130 @@
+"""Full simulation step on the dense particle table — the TPU production path.
+
+Same pass sequence as step.py (the flat-array oracle), with the two rebinning
+shuffles that maintain the table's bin invariant:
+
+  marker -> P2G+gravity -> divergence RHS -> PCG(vel) -> remove -> extrapolate
+  -> advect -> REBIN(+-2) -> marker -> density RHS -> PCG(den)
+  -> position-change -> extrapolate -> correct -> REBIN(+-1)
+
+The reference rebins (sorts) particles every 60 steps purely as a perf
+optimization (hybrid_fluid.rs:854-894); here rebinning is correctness-bearing
+(it IS the particle data structure) and runs as a dense local shuffle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import SolverConfig
+from ..core.types import SimParams, SolidState, SolverStats
+from .dense_advect import advect_dense, correct_particles_dense
+from .dense_transfer import (
+    density_rhs_from_raw,
+    marker_from_table,
+    p2g_density_dense,
+    p2g_velocity_dense,
+)
+from .divergence import compute_divergence_rhs, remove_divergence
+from .extrapolate import extrapolate_velocity
+from .pressure import solve_pressure
+from .table import ParticleTable, from_positions, rebin
+
+
+def _register(cls):
+    return jax.tree_util.register_dataclass(cls)
+
+
+@_register
+@dataclasses.dataclass
+class DenseFluidState:
+    """Persistent state of the dense-table simulation."""
+
+    table: ParticleTable
+    pressure_vel: jax.Array
+    pressure_den: jax.Array
+    step_index: jax.Array
+    stats_vel: SolverStats
+    stats_den: SolverStats
+
+
+def make_dense_state(params: SimParams, pos_np, capacity: int = 16) -> DenseFluidState:
+    table = from_positions(pos_np, params.grid_dim, capacity)
+    zeros = jnp.zeros(params.grid_dim, jnp.float32)
+    return DenseFluidState(
+        table=table,
+        pressure_vel=zeros,
+        pressure_den=zeros,
+        step_index=jnp.int32(0),
+        stats_vel=SolverStats.zero(),
+        stats_den=SolverStats.zero(),
+    )
+
+
+def step_dense(
+    params: SimParams, state: DenseFluidState, solids: Optional[SolidState] = None
+) -> DenseFluidState:
+    table = state.table
+    occupancy = solids.occupancy if solids is not None else None
+    solid_vel = solids.velocity if solids is not None else None
+
+    # --- transfer & divergence ------------------------------------------------
+    marker = marker_from_table(table, occupancy)
+    vel = p2g_velocity_dense(table, marker, params.gravity_grid, params.dt)
+    rhs = compute_divergence_rhs(vel, marker, solid_vel)
+
+    # --- pressure projection (velocity) --------------------------------------
+    res_vel = solve_pressure(state.pressure_vel, rhs, marker, params.solver_vel, params.dt)
+    vel = remove_divergence(vel, res_vel.pressure, marker, solid_vel)
+    vel = extrapolate_velocity(vel, marker)
+
+    # --- advection + rebin ----------------------------------------------------
+    table = advect_dense(table, vel, occupancy, solid_vel, params.dt)
+    table = rebin(table, max_shift=2)
+
+    # --- implicit density projection ------------------------------------------
+    marker2 = marker_from_table(table, occupancy)
+    raw_density = p2g_density_dense(table)
+    den_rhs = density_rhs_from_raw(raw_density, marker2, params.dt)
+    res_den = solve_pressure(state.pressure_den, den_rhs, marker2, params.solver_den, params.dt)
+
+    from .density import position_change_field
+
+    change = position_change_field(res_den.pressure, marker2, params.dt)
+    change = extrapolate_velocity(change, marker2)
+    table = correct_particles_dense(table, change, marker2)
+    table = rebin(table, max_shift=1)
+
+    return DenseFluidState(
+        table=table,
+        pressure_vel=res_vel.pressure,
+        pressure_den=res_den.pressure,
+        step_index=state.step_index + 1,
+        stats_vel=res_vel.stats,
+        stats_den=res_den.stats,
+    )
+
+
+def make_jitted_dense_step(params: SimParams, donate: bool = True):
+    fn = partial(step_dense, params)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def multi_step_dense(
+    params: SimParams,
+    state: DenseFluidState,
+    num_steps: int,
+    solids: Optional[SolidState] = None,
+) -> DenseFluidState:
+    """K steps fused in one device program (lax.scan) to amortize dispatch."""
+
+    def body(s, _):
+        return step_dense(params, s, solids), None
+
+    out, _ = jax.lax.scan(body, state, None, length=num_steps)
+    return out
