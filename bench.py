@@ -1,0 +1,83 @@
+"""Headline benchmark: sim steps/sec at 128^3-class grid / millions of
+particles on one TPU chip (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N, ...}
+
+vs_baseline compares against the reference's implied bar: its 120 steps/s
+realtime design point (src/simulation_controller.rs:39) at dam_halfhalf scale
+on a GTX 1070 Ti — the reference publishes no measured numbers (BASELINE.md).
+
+Env knobs: BLUB_BENCH_GRID=x,y,z  BLUB_BENCH_STEPS=N  BLUB_BENCH_CAPACITY=K
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from blub_tpu.core.seeding import add_fluid_cube
+    from blub_tpu.core.types import SimParams
+    from blub_tpu.sim.step_dense import make_dense_state, make_jitted_dense_step
+
+    grid = tuple(int(v) for v in os.environ.get("BLUB_BENCH_GRID", "128,128,128").split(","))
+    n_steps = int(os.environ.get("BLUB_BENCH_STEPS", "60"))
+    capacity = int(os.environ.get("BLUB_BENCH_CAPACITY", "12"))
+
+    # Dam filling the lower-left half: ~1/4 of cells -> grid(128^3) ~ 4M particles.
+    x, y, z = grid
+    pos = add_fluid_cube(grid, (1, 1, 1), (x // 2, y // 2, z - 1), 10**9)
+    params = SimParams(
+        grid_dim=grid, dt=1.0 / 120.0, gravity_grid=(0.0, -981.0, 0.0), num_particles=pos.shape[0]
+    )
+    state = make_dense_state(params, pos, capacity=capacity)
+    step = make_jitted_dense_step(params, donate=True)
+
+    # Warmup (compile + a few steps so the flow is in a typical regime).
+    t0 = time.time()
+    state = step(state)
+    _sync(state)
+    compile_s = time.time() - t0
+    for _ in range(4):
+        state = step(state)
+    _sync(state)
+
+    t0 = time.time()
+    for _ in range(n_steps):
+        state = step(state)
+    _sync(state)
+    wall = time.time() - t0
+    steps_per_s = n_steps / wall
+
+    lost = int(np.asarray(jax.device_get(state.table.lost)))
+    result = {
+        "metric": f"sim steps/sec, dense APIC step, {x}x{y}x{z} grid, {pos.shape[0]} particles, 1 chip",
+        "value": round(steps_per_s, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / 120.0, 3),
+        "ms_per_step": round(1000.0 * wall / n_steps, 2),
+        "compile_s": round(compile_s, 1),
+        "particles": int(pos.shape[0]),
+        "lost_particles": lost,
+    }
+    print(json.dumps(result))
+
+
+def _sync(state) -> None:
+    # block_until_ready is unreliable on the tunneled platform; fetching a
+    # scalar forces completion of the dependency chain.
+    import jax
+
+    float(jax.device_get(state.stats_vel.error))
+
+
+if __name__ == "__main__":
+    main()

@@ -143,11 +143,11 @@ def make_state(params: SimParams, pos, vel=None) -> FluidState:
     pos = jnp.asarray(pos, jnp.float32)
     vel = jnp.zeros((n, 3), jnp.float32) if vel is None else jnp.asarray(vel, jnp.float32)
     particles = Particles(pos=pos, vel=vel, affine=jnp.zeros((n, 3, 3), jnp.float32))
-    zeros = jnp.zeros(params.grid_dim, jnp.float32)
     return FluidState(
         particles=particles,
-        pressure_vel=zeros,
-        pressure_den=zeros,
+        # separate buffers: donation must not see the same buffer twice
+        pressure_vel=jnp.zeros(params.grid_dim, jnp.float32),
+        pressure_den=jnp.zeros(params.grid_dim, jnp.float32),
         step_index=jnp.int32(0),
         stats_vel=SolverStats.zero(),
         stats_den=SolverStats.zero(),

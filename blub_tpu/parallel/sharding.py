@@ -1,0 +1,43 @@
+"""Spatial domain decomposition over a TPU device mesh.
+
+The reference has no multi-GPU support at all (SURVEY.md §2.8); this is the
+scale-out story the rebuild adds: shard the MAC grid (and the particle table,
+which shares the grid's leading axes) along X over a 1D mesh. Every simulation
+phase is a fixed-window stencil or a slot-local computation, so under
+jit+GSPMD the compiler inserts halo exchanges (collective-permute) for the
+shifted reads and psums for the PCG dot products automatically — the
+"pick a mesh, annotate shardings, let XLA insert collectives" recipe.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
+    devices = jax.devices()
+    n = n_devices if n_devices is not None else len(devices)
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def state_shardings(mesh: Mesh, state_like: Any, axis: str = "x") -> Any:
+    """A pytree of NamedShardings matching ``state_like``: arrays whose leading
+    dimension is the grid X axis are split along the mesh; scalars and small
+    stats are replicated."""
+
+    def spec(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 3:
+            return NamedSharding(mesh, P(axis))  # split dim 0 (grid X)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, state_like)
+
+
+def shard_state(mesh: Mesh, state: Any, axis: str = "x") -> Any:
+    """Place a host-built state onto the mesh with X-sharded grid arrays."""
+    shardings = state_shardings(mesh, state, axis)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)

@@ -55,11 +55,11 @@ class DenseFluidState:
 
 def make_dense_state(params: SimParams, pos_np, capacity: int = 16) -> DenseFluidState:
     table = from_positions(pos_np, params.grid_dim, capacity)
-    zeros = jnp.zeros(params.grid_dim, jnp.float32)
     return DenseFluidState(
         table=table,
-        pressure_vel=zeros,
-        pressure_den=zeros,
+        # separate buffers: donation must not see the same buffer twice
+        pressure_vel=jnp.zeros(params.grid_dim, jnp.float32),
+        pressure_den=jnp.zeros(params.grid_dim, jnp.float32),
         step_index=jnp.int32(0),
         stats_vel=SolverStats.zero(),
         stats_den=SolverStats.zero(),
