@@ -1,0 +1,321 @@
+"""Solid scene models: OBJ loading, signed-distance baking, rigid animation.
+
+TPU-native redesign of the reference's mesh pipeline (src/scene/models.rs +
+src/scene/voxelization.rs): where the reference re-rasterizes the transformed
+triangle mesh with conservative rasterization every step, we bake a
+signed-distance field over the fluid grid ONCE at load (static pose, extended
+by the animation's translation range) and per step resample it with a dynamic
+shift — a dense O(cells) operation with no gathers (see sim/voxelize.py).
+
+Animation semantics replicated from models.rs:
+- ping-pong translation between world_position and target over 2*duration,
+  Linear or SmoothStep curve (models.rs:154-171);
+- constant-rate rotation quaternion on top of the static Euler rotation
+  (models.rs:174-181) — runtime rotation currently falls back to a host-side
+  re-bake (only the disabled reference scene uses it);
+- solid velocity = finite-difference translation velocity / grid scale plus
+  omega x r (models.rs:187-193, voxelize/conservative_hull.frag:17-23).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import math
+import pathlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .config import SceneConfig, StaticObjectConfig, smoothstep
+
+log = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# OBJ loading
+
+
+def load_obj(path: pathlib.Path) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Minimal OBJ parser (v / f lines, fan-triangulated). Returns
+    (verts f32[V,3], tris i32[T,3]) or None if the file is unusable (e.g. a
+    git-lfs pointer, which is what the reference repo ships for its models)."""
+    try:
+        text = path.read_text(errors="ignore")
+    except OSError:
+        return None
+    if text.startswith("version https://git-lfs"):
+        return None
+    verts: List[Tuple[float, float, float]] = []
+    tris: List[Tuple[int, int, int]] = []
+    for line in text.splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "v" and len(parts) >= 4:
+            verts.append((float(parts[1]), float(parts[2]), float(parts[3])))
+        elif parts[0] == "f" and len(parts) >= 4:
+            idx = [int(p.split("/")[0]) for p in parts[1:]]
+            idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+            for k in range(1, len(idx) - 1):
+                tris.append((idx[0], idx[k], idx[k + 1]))
+    if not verts or not tris:
+        return None
+    return np.asarray(verts, np.float32), np.asarray(tris, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Signed distance fields
+
+
+def mesh_sdf(
+    verts: np.ndarray, tris: np.ndarray, points: np.ndarray, chunk: int = 32768
+) -> np.ndarray:
+    """Brute-force signed distance from ``points`` f32[N,3] to a triangle mesh.
+    Sign via +x ray-crossing parity. O(N*T) on the host — meshes here are small
+    and this runs once per scene load."""
+    a = verts[tris[:, 0]]
+    b = verts[tris[:, 1]]
+    c = verts[tris[:, 2]]
+    out = np.empty(points.shape[0], np.float32)
+    for s in range(0, points.shape[0], chunk):
+        p = points[s : s + chunk]
+        d2 = _point_tri_dist2(p, a, b, c)
+        dist = np.sqrt(d2.min(axis=1))
+        inside = _ray_parity(p, a, b, c)
+        out[s : s + chunk] = np.where(inside, -dist, dist)
+    return out
+
+
+def _point_tri_dist2(p, a, b, c):
+    """Squared distance from each point to each triangle ([N,1,3] vs [T,3])."""
+    p = p[:, None, :]
+    ab = (b - a)[None]
+    ac = (c - a)[None]
+    ap = p - a[None]
+    d1 = np.sum(ab * ap, -1)
+    d2 = np.sum(ac * ap, -1)
+    bp = p - b[None]
+    d3 = np.sum(ab * bp, -1)
+    d4 = np.sum(ac * bp, -1)
+    cp = p - c[None]
+    d5 = np.sum(ab * cp, -1)
+    d6 = np.sum(ac * cp, -1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = va + vb + vc  # = 2*area^2 scale, > 0 for non-degenerate tris
+
+    # Face region: squared distance to the supporting plane, valid only when
+    # the projection's barycentrics are all non-negative.
+    n = np.cross(ab, ac)
+    n2 = np.maximum(np.sum(n * n, -1), 1e-20)
+    d_plane = np.sum(ap * n, -1) ** 2 / n2
+    s = np.sign(np.where(denom == 0, 1.0, denom))
+    inside = (va * s >= 0) & (vb * s >= 0) & (vc * s >= 0)
+    d_face = np.where(inside, d_plane, np.inf)
+
+    # Edge regions: exact segment distances cover every outside case.
+    def seg(pnt, s0, sdir):
+        t = np.sum((pnt - s0) * sdir, -1) / np.maximum(np.sum(sdir * sdir, -1), 1e-20)
+        t = np.clip(t, 0.0, 1.0)
+        proj = s0 + t[..., None] * sdir
+        return np.sum((pnt - proj) ** 2, -1)
+
+    d_ab = seg(p, a[None], ab)
+    d_ac = seg(p, a[None], ac)
+    d_bc = seg(p, b[None], (c - b)[None])
+    return np.minimum(np.minimum(d_face, d_ab), np.minimum(d_ac, d_bc))
+
+
+def _ray_parity(p, a, b, c):
+    """Watertight-enough +x ray crossing parity per point.
+
+    The ray's yz coordinates are nudged by a tiny irrational-ish offset so
+    points exactly on shared triangle edges (e.g. voxel centers on a cube
+    face's diagonal) don't fall between both triangles' strict in-tests."""
+    p = p.copy()
+    p[:, 1] += 3.53163e-5
+    p[:, 2] += 7.07271e-5
+    n = p.shape[0]
+    crossings = np.zeros(n, np.int64)
+    # project to yz plane; count triangles whose yz projection contains the
+    # point with intersection x > p.x
+    for t in range(a.shape[0]):
+        va, vb, vc = a[t], b[t], c[t]
+        d1 = (vb[1] - va[1]) * (p[:, 2] - va[2]) - (vb[2] - va[2]) * (p[:, 1] - va[1])
+        d2 = (vc[1] - vb[1]) * (p[:, 2] - vb[2]) - (vc[2] - vb[2]) * (p[:, 1] - vb[1])
+        d3 = (va[1] - vc[1]) * (p[:, 2] - vc[2]) - (va[2] - vc[2]) * (p[:, 1] - vc[1])
+        neg = (d1 < 0) & (d2 < 0) & (d3 < 0)
+        pos = (d1 > 0) & (d2 > 0) & (d3 > 0)
+        hit = neg | pos
+        if not hit.any():
+            continue
+        # barycentric x at intersection
+        area = d1 + d2 + d3
+        area = np.where(np.abs(area) < 1e-20, 1e-20, area)
+        x = (d2 * va[0] + d3 * vb[0] + d1 * vc[0]) / area
+        crossings += (hit & (x > p[:, 0])).astype(np.int64)
+    return crossings % 2 == 1
+
+
+def box_sdf(points: np.ndarray, lo, hi) -> np.ndarray:
+    """Analytic axis-aligned box SDF (procedural stand-in geometry)."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    center = (lo + hi) / 2
+    half = (hi - lo) / 2
+    q = np.abs(points - center) - half
+    outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+    inside = np.minimum(q.max(axis=-1), 0.0)
+    return (outside + inside).astype(np.float32)
+
+
+def sphere_sdf(points: np.ndarray, center, radius: float) -> np.ndarray:
+    return (np.linalg.norm(points - np.asarray(center, np.float32), axis=-1) - radius).astype(
+        np.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Animated solid objects
+
+
+@dataclasses.dataclass
+class SolidObject:
+    """One animated solid: a domain-aligned baked SDF + rigid motion params.
+
+    ``sdf`` is baked in *voxel units* on a grid covering the fluid domain
+    extended by the translation range: sdf[i,j,k] = signed distance (in cells)
+    at voxel center (i - pad_lo) + 0.5, for the object at its REFERENCE pose
+    (t=0 translation, static rotation)."""
+
+    config: StaticObjectConfig
+    sdf: np.ndarray  # f32[X+padx, Y+pady, Z+padz]
+    pad_lo: Tuple[int, int, int]
+    grid_scale: float
+    fluid_world_position: Tuple[float, float, float]
+
+    def world_position_at(self, t: float) -> np.ndarray:
+        cfg = self.config
+        base = np.asarray(cfg.world_position, np.float64)
+        anim = cfg.animation.translation if cfg.animation else None
+        if anim is None:
+            return base
+        progress = math.fmod(t, anim.duration * 2.0)
+        if progress > anim.duration:
+            progress = anim.duration * 2.0 - progress
+        progress = min(max(progress / anim.duration, 0.0), 1.0)
+        if anim.curve == "SmoothStep":
+            progress = smoothstep(progress)
+        return base * (1.0 - progress) + np.asarray(anim.target, np.float64) * progress
+
+    def voxel_shift_at(self, t: float) -> np.ndarray:
+        """Translation since the reference pose, in voxel units."""
+        return (self.world_position_at(t) - np.asarray(self.config.world_position)) / self.grid_scale
+
+    def velocity_params_at(self, t: float, dt: float):
+        """(v_trans_voxel f32[3], omega f32[3] rad/s, center_voxel f32[3]) —
+        finite-difference translation velocity like models.rs:187-193."""
+        if t > dt:
+            v = (self.world_position_at(t) - self.world_position_at(t - dt)) / dt
+        else:
+            v = np.zeros(3)
+        v_voxel = v / self.grid_scale
+        rot = self.config.animation.rotation if self.config.animation else None
+        if rot is not None:
+            axis = np.asarray(rot.axis, np.float64)
+            axis = axis / max(np.linalg.norm(axis), 1e-9)
+            omega = axis * math.radians(rot.deg_per_sec)
+        else:
+            omega = np.zeros(3)
+        center_voxel = (
+            self.world_position_at(t) - np.asarray(self.fluid_world_position)
+        ) / self.grid_scale
+        return (
+            v_voxel.astype(np.float32),
+            omega.astype(np.float32),
+            center_voxel.astype(np.float32),
+        )
+
+
+def _euler_matrix(angles_deg) -> np.ndarray:
+    """Rotation matrix from Euler angles in degrees, XYZ order (cgmath
+    Euler<Deg> convention: R = Rx * Ry * Rz applied to column vectors)."""
+    ax, ay, az = (math.radians(a) for a in angles_deg)
+
+    def rx(a):
+        return np.array([[1, 0, 0], [0, math.cos(a), -math.sin(a)], [0, math.sin(a), math.cos(a)]])
+
+    def ry(a):
+        return np.array([[math.cos(a), 0, math.sin(a)], [0, 1, 0], [-math.sin(a), 0, math.cos(a)]])
+
+    def rz(a):
+        return np.array([[math.cos(a), -math.sin(a), 0], [math.sin(a), math.cos(a), 0], [0, 0, 1]])
+
+    return rx(ax) @ ry(ay) @ rz(az)
+
+
+def build_solid_objects(scene: SceneConfig, models_dir: pathlib.Path | None = None) -> List[SolidObject]:
+    """Load + bake every static object of a scene."""
+    if not scene.static_objects:
+        return []
+    if models_dir is None:
+        models_dir = pathlib.Path(__file__).resolve().parents[2] / "models"
+    dim = np.asarray(scene.fluid.grid_dimension)
+    s_g = scene.fluid.grid_to_world_scale
+    out = []
+    for cfg in scene.static_objects:
+        # translation range in voxels -> padding
+        tmp = SolidObject(cfg, np.zeros(1, np.float32), (0, 0, 0), s_g, scene.fluid.world_position)
+        shifts = [tmp.voxel_shift_at(t) for t in np.linspace(0, _anim_period(cfg), 64)]
+        min_shift = np.floor(np.min(shifts, axis=0)).astype(int)
+        max_shift = np.ceil(np.max(shifts, axis=0)).astype(int)
+        # resample reads baked index i + pad_lo - shift for i in [0, dim):
+        # pad_lo covers the largest positive shift, pad_hi the most negative.
+        pad_lo = np.maximum(max_shift, 0) + 1
+        pad_hi = np.maximum(-min_shift, 0) + 2
+        shape = dim + pad_lo + pad_hi
+
+        # voxel centers in world space at the reference pose
+        ii = np.indices(shape).reshape(3, -1).T.astype(np.float64)
+        vox = ii - pad_lo + 0.5
+        world = vox * s_g + np.asarray(scene.fluid.world_position)
+
+        # model local space: world = T(world_pos) S(scale) R local
+        rot = _euler_matrix(cfg.rotation_angles)
+        local = ((world - np.asarray(cfg.world_position)) / cfg.scale) @ rot  # R^-1 = R^T
+        local = local.astype(np.float32)
+
+        geom = load_obj(models_dir / cfg.model)
+        if geom is not None:
+            sdf_local = mesh_sdf(geom[0], geom[1], local)
+        else:
+            name = str(cfg.model).lower()
+            if "cube" in name:
+                sdf_local = box_sdf(local, (0, 0, 0), (1, 1, 1))
+            else:
+                log.warning(
+                    "model %s unavailable (git-lfs pointer?); using procedural sphere stand-in",
+                    cfg.model,
+                )
+                sdf_local = sphere_sdf(local, (0.5, 0.5, 0.5), 0.5)
+        # convert local-space distance to voxel units (uniform scale)
+        sdf = (sdf_local * (cfg.scale / s_g)).reshape(shape).astype(np.float32)
+        out.append(
+            SolidObject(
+                config=cfg,
+                sdf=sdf,
+                pad_lo=tuple(int(v) for v in pad_lo),
+                grid_scale=s_g,
+                fluid_world_position=scene.fluid.world_position,
+            )
+        )
+    return out
+
+
+def _anim_period(cfg: StaticObjectConfig) -> float:
+    if cfg.animation and cfg.animation.translation:
+        return cfg.animation.translation.duration * 2.0
+    return 1.0

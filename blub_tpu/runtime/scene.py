@@ -1,0 +1,117 @@
+"""Scene runtime: config + assets + per-step orchestration.
+
+The analog of the reference's Scene (src/scene/mod.rs:55-222): owns the fluid
+state, the baked solid objects, and the jitted step; ``step()`` animates the
+solids, voxelizes, and advances the fluid — all inside ONE device program per
+step (the reference's model-animate -> voxelize -> fluid.step -> submit
+sequence collapses into a single jit call).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import SceneConfig, SimSettings, load_scene
+from ..core.models import SolidObject, build_solid_objects
+from ..core.seeding import seed_scene
+from ..core.types import SimParams, SolidState
+from ..sim.step_dense import DenseFluidState, make_dense_state, step_dense
+from ..sim.voxelize import solid_params_at, voxelize_step
+
+
+class Scene:
+    def __init__(
+        self,
+        config: SceneConfig | str | pathlib.Path,
+        settings: SimSettings | None = None,
+        capacity: int = 16,
+        models_dir: pathlib.Path | None = None,
+    ):
+        self.config = config if isinstance(config, SceneConfig) else load_scene(config)
+        self.settings = settings or SimSettings()
+        self.capacity = capacity
+        self._models_dir = models_dir
+        self.solid_objects: List[SolidObject] = build_solid_objects(self.config, models_dir)
+        self._sdfs = [jnp.asarray(o.sdf) for o in self.solid_objects]
+        self._pad_los = [o.pad_lo for o in self.solid_objects]
+
+        pos = seed_scene(self.config)
+        self.params = SimParams.from_scene(self.config, self.settings, num_particles=pos.shape[0])
+        self._initial_pos = pos
+        self.state: DenseFluidState = make_dense_state(self.params, pos, capacity)
+        self.total_simulated_time = 0.0
+
+        params = self.params
+        grid_dim = params.grid_dim
+        pad_los = tuple(self._pad_los)
+
+        if self.solid_objects:
+
+            def _step(state, sdfs, shifts, vts, oms, cts):
+                solids = voxelize_step(sdfs, pad_los, shifts, vts, oms, cts, grid_dim)
+                return step_dense(params, state, solids)
+
+            self._jitted = jax.jit(_step, donate_argnums=(0,))
+        else:
+            self._jitted = jax.jit(partial(step_dense, params), donate_argnums=(0,))
+
+    # -- stepping --------------------------------------------------------
+
+    def step(self) -> None:
+        """Advance one simulation step of dt (Scene::step, scene/mod.rs:166)."""
+        dt = self.settings.dt
+        if self.solid_objects:
+            # Reference animates models to the *post-step* time before
+            # voxelizing (Timer ticks first): use t + dt.
+            t = self.total_simulated_time + dt
+            shifts, vts, oms, cts = solid_params_at(self.solid_objects, t, dt)
+            self.state = self._jitted(self.state, self._sdfs, shifts, vts, oms, cts)
+        else:
+            self.state = self._jitted(self.state)
+        self.total_simulated_time += dt
+
+    def current_solids(self) -> Optional[SolidState]:
+        if not self.solid_objects:
+            return None
+        t = self.total_simulated_time + self.settings.dt
+        shifts, vts, oms, cts = solid_params_at(self.solid_objects, t, self.settings.dt)
+        return voxelize_step(
+            self._sdfs, tuple(self._pad_los), jnp.asarray(shifts), jnp.asarray(vts),
+            jnp.asarray(oms), jnp.asarray(cts), self.params.grid_dim
+        )
+
+    def reset(self) -> None:
+        """Rebuild the fluid from the scene config (Scene::reset)."""
+        self.state = make_dense_state(self.params, self._initial_pos, self.capacity)
+        self.total_simulated_time = 0.0
+
+    # -- introspection ----------------------------------------------------
+
+    def num_particles(self) -> int:
+        return int(jax.device_get(self.state.table.num_particles()))
+
+    def particle_positions(self) -> np.ndarray:
+        from ..sim.table import to_positions
+
+        return to_positions(self.state.table)
+
+    def solver_stats(self) -> dict:
+        s = self.state
+        return {
+            "velocity": {
+                "error": float(jax.device_get(s.stats_vel.error)),
+                "iterations": int(jax.device_get(s.stats_vel.iterations)),
+            },
+            "density": {
+                "error": float(jax.device_get(s.stats_den.error)),
+                "iterations": int(jax.device_get(s.stats_den.iterations)),
+            },
+            "lost_particles": int(jax.device_get(s.table.lost)),
+        }

@@ -172,11 +172,16 @@ def advect_dense(
     # fixed +-2 window. The reference has no such bound; at its 120 steps/s
     # design point real flows stay well under 2 cells/step.
     movement = jnp.clip(movement, -MAX_ADVECT_MOVE, MAX_ADVECT_MOVE)
-    new_pos = pos + movement
-    # Hard guarantee for rebin(max_shift=2) even for solid-escaped particles:
-    # keep floor(new_pos - 0.5) within +-2 of the slot's cell.
+    # Clamp the target position per axis so floor(new_pos) stays within +-2 of
+    # the slot's cell — this keeps BOTH the rebin window (+-2 on the dual bin)
+    # and the solid-penetration lookup window valid. Without it a fast
+    # particle's floor(new_pos) can land at cell+3 where the +-2 occupancy
+    # window can't see a solid, and the flood front tunnels through moving
+    # solids (the reference has the same unchecked-tunneling artifact; here
+    # the CFL clamp makes containment airtight instead).
     cellf = _cell_idx(table)
-    new_pos = jnp.clip(new_pos, cellf - 1.499, cellf + 3.499)
+    new_pos = jnp.clip(pos + movement, cellf - 1.499, cellf + 2.499)
+    movement = new_pos - pos
 
     out_of_bounds = jnp.any((new_pos < 1.001) | (new_pos > grid_max), axis=-1)
     if solid_occupancy is not None:
@@ -251,10 +256,14 @@ def correct_particles_dense(
 
     movement = _trilinear(samples, samples.ix, samples.iy, samples.iz)
     movement = jnp.clip(movement, -MAX_CORRECT_MOVE, MAX_CORRECT_MOVE)
-    new_pos = pos + movement
+    # Keep floor(new_pos) within +-1 of the cell so the marker lookup window
+    # and the subsequent rebin(max_shift=1) stay valid (see advect_dense).
+    cellf = _cell_idx(table)
+    new_pos = jnp.clip(pos + movement, cellf - 0.499, cellf + 1.999)
+    movement = new_pos - pos
 
     out_of_bounds = jnp.any((new_pos < 1.001) | (new_pos > grid_max), axis=-1)
-    d = jnp.floor(new_pos).astype(jnp.int32) - _cell_idx(table).astype(jnp.int32)
+    d = jnp.floor(new_pos).astype(jnp.int32) - cellf.astype(jnp.int32)
     d = jnp.clip(d, -1, 1)
     target_marker = _point_select(marker.astype(jnp.float32), d, 1)
     penetrates = out_of_bounds | (target_marker == CELL_SOLID)

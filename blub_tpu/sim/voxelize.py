@@ -1,0 +1,114 @@
+"""Per-step solid voxelization: dense SDF resampling + rigid velocity field.
+
+Replaces the reference's per-step conservative rasterization of animated
+meshes (src/scene/voxelization.rs, shader/voxelize/*) with a TPU-native
+scheme: each object's signed distance field is baked once over the fluid
+domain extended by its translation range (core/models.py); per step the field
+is *resampled at the animated translation* via one dynamic_slice plus an
+8-corner constant-weight trilinear blend — dense, no gathers, jit-friendly
+with traced shift values.
+
+Occupancy = sdf <= 0.5 voxel (half-cell inflation plays the role of the
+reference's conservative rasterization, which marks every voxel the surface
+touches; unlike the reference's surface shell we also mark the interior,
+which is strictly more correct for the pressure solve). The solid velocity is
+the rigid-body field v_trans + omega x r evaluated densely at cell centers
+(voxelize/conservative_hull.frag:17-23).
+
+Runtime *rotation* animation is not in the fast path: occupancy uses the
+static-rotation bake (the only reference scene with runtime rotation is
+disabled there too); the omega x r velocity term is still applied.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.models import SolidObject
+from ..core.types import SolidState
+
+OCC_ISO = 0.5  # voxels
+
+
+def resample_sdf(
+    baked: jax.Array, pad_lo: Tuple[int, int, int], shift: jax.Array, grid_dim: Tuple[int, int, int]
+) -> jax.Array:
+    """field[i] = baked_sdf(voxel center i + 0.5 shifted by ``shift``):
+    out[i] = trilerp(baked[i + pad_lo - shift]). ``shift`` is traced f32[3]."""
+    o = jnp.asarray(pad_lo, jnp.float32) - shift
+    base = jnp.floor(o)
+    frac = o - base
+    start = base.astype(jnp.int32)
+    sizes = tuple(d + 1 for d in grid_dim)
+    window = jax.lax.dynamic_slice(baked, (start[0], start[1], start[2]), sizes)
+
+    x, y, z = grid_dim
+    out = jnp.zeros(grid_dim, jnp.float32)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                w = (
+                    (frac[0] if cx else 1.0 - frac[0])
+                    * (frac[1] if cy else 1.0 - frac[1])
+                    * (frac[2] if cz else 1.0 - frac[2])
+                )
+                out = out + w * jax.lax.slice(
+                    window, (cx, cy, cz), (cx + x, cy + y, cz + z)
+                )
+    return out
+
+
+def rigid_velocity_field(
+    grid_dim: Tuple[int, int, int], v_trans: jax.Array, omega: jax.Array, center: jax.Array
+) -> jax.Array:
+    """f32[X,Y,Z,3]: v_trans + omega x (x - center) at cell centers (voxel
+    space, grid units per second)."""
+    pos = jnp.stack(
+        [jax.lax.broadcasted_iota(jnp.float32, grid_dim, a) + 0.5 for a in range(3)], axis=-1
+    )
+    r = pos - center
+    tangential = jnp.cross(jnp.broadcast_to(omega, r.shape), r)
+    return tangential + v_trans
+
+
+def voxelize_step(
+    sdfs: Sequence[jax.Array],
+    pad_los: Sequence[Tuple[int, int, int]],
+    shifts: jax.Array,  # f32[n_obj, 3]
+    v_trans: jax.Array,  # f32[n_obj, 3]
+    omegas: jax.Array,  # f32[n_obj, 3]
+    centers: jax.Array,  # f32[n_obj, 3]
+    grid_dim: Tuple[int, int, int],
+) -> SolidState:
+    """Combine all objects into one SolidState (later objects overwrite solid
+    velocity where they overlap, like the reference's sequential raster)."""
+    occupancy = jnp.zeros(grid_dim, jnp.float32)
+    velocity = jnp.zeros(grid_dim + (3,), jnp.float32)
+    for i, (baked, pad_lo) in enumerate(zip(sdfs, pad_los)):
+        field = resample_sdf(baked, pad_lo, shifts[i], grid_dim)
+        occ_i = field <= OCC_ISO
+        vel_i = rigid_velocity_field(grid_dim, v_trans[i], omegas[i], centers[i])
+        occupancy = jnp.where(occ_i, 1.0, occupancy)
+        velocity = jnp.where(occ_i[..., None], vel_i, velocity)
+    return SolidState(occupancy=occupancy, velocity=velocity)
+
+
+def solid_params_at(objects: List[SolidObject], t: float, dt: float):
+    """Host-side per-step parameters for voxelize_step (all f32[n,3])."""
+    shifts, vts, oms, cts = [], [], [], []
+    for obj in objects:
+        shifts.append(obj.voxel_shift_at(t))
+        vt, om, ct = obj.velocity_params_at(t, dt)
+        vts.append(vt)
+        oms.append(om)
+        cts.append(ct)
+    return (
+        np.asarray(shifts, np.float32),
+        np.asarray(vts, np.float32),
+        np.asarray(oms, np.float32),
+        np.asarray(cts, np.float32),
+    )
