@@ -1,0 +1,165 @@
+"""Headless application: scene loading, simulation loop, recording — the
+analog of src/main.rs's Application/event loop for a TPU box without a window.
+
+Usage:
+  python -m blub_tpu.app run scenes/column.json --sim-seconds 2 --record-fps 60
+  python -m blub_tpu.app screenshot scenes/dam_halfhalf.json --sim-seconds 0.5
+  python -m blub_tpu.app info scenes/wavegenerator.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build(args):
+    from .core.config import SimSettings, SolverConfig, load_scene
+    from .runtime.scene import Scene
+
+    settings = SimSettings(
+        simulation_steps_per_second=args.steps_per_second,
+        solver_velocity=SolverConfig(max_num_iterations=args.solver_iterations),
+        solver_density=SolverConfig(max_num_iterations=args.solver_iterations),
+    )
+    return Scene(load_scene(args.scene), settings, capacity=args.capacity)
+
+
+def _renderer(scene, args):
+    from .render.renderer import FluidRenderingMode, RenderSettings, SceneRenderer
+
+    return SceneRenderer(
+        scene.params.grid_dim,
+        RenderSettings(
+            width=args.width,
+            height=args.height,
+            fluid_mode=FluidRenderingMode(args.fluid_mode),
+        ),
+    )
+
+
+def cmd_info(args) -> int:
+    from .core.config import load_scene
+
+    cfg = load_scene(args.scene)
+    print(
+        json.dumps(
+            {
+                "name": cfg.name,
+                "grid_dimension": cfg.fluid.grid_dimension,
+                "max_num_particles": cfg.fluid.max_num_particles,
+                "grid_to_world_scale": cfg.fluid.grid_to_world_scale,
+                "gravity": cfg.gravity,
+                "fluid_cubes": len(cfg.fluid.fluid_cubes),
+                "static_objects": [o.model for o in cfg.static_objects],
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+def cmd_run(args) -> int:
+    from .render.recorder import ScreenshotRecorder
+    from .runtime.controller import SimulationController
+
+    scene = _build(args)
+    ctl = SimulationController(scene)
+    print(f"scene {scene.config.name}: grid {scene.params.grid_dim}, {scene.params.num_particles} particles", file=sys.stderr)
+
+    recorder = None
+    renderer = None
+    if args.record_fps:
+        recorder = ScreenshotRecorder(args.output_dir)
+        renderer = _renderer(scene, args)
+        rec_dir = recorder.start_recording()
+        print(f"recording to {rec_dir}", file=sys.stderr)
+
+    frame_len = 1.0 / args.record_fps if args.record_fps else 0.25
+    t_end = args.sim_seconds
+    next_frame = 0.0
+    wall0 = time.time()
+    while scene.total_simulated_time < t_end - 1e-9:
+        ctl.fast_forward(min(frame_len, t_end - scene.total_simulated_time))
+        if recorder is not None:
+            rgb = renderer.draw(scene.particle_positions(), scene.particle_velocities())
+            recorder.capture_frame(rgb)
+        stats = scene.solver_stats()
+        print(
+            f"t={scene.total_simulated_time:7.3f}s steps={ctl.total_steps:6d} "
+            f"vel[{stats['velocity']['iterations']:2d}it {stats['velocity']['error']:.3f}] "
+            f"den[{stats['density']['iterations']:2d}it {stats['density']['error']:.3f}] "
+            f"lost={stats['lost_particles']}",
+            file=sys.stderr,
+        )
+        next_frame += frame_len
+    wall = time.time() - wall0
+    print(
+        json.dumps(
+            {
+                "simulated_seconds": round(scene.total_simulated_time, 4),
+                "steps": ctl.total_steps,
+                "wall_seconds": round(wall, 2),
+                "steps_per_second": round(ctl.total_steps / max(wall, 1e-9), 2),
+                "particles": scene.params.num_particles,
+                "lost_particles": scene.solver_stats()["lost_particles"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_screenshot(args) -> int:
+    from .render.recorder import ScreenshotRecorder
+    from .runtime.controller import SimulationController
+
+    scene = _build(args)
+    ctl = SimulationController(scene)
+    if args.sim_seconds > 0:
+        ctl.fast_forward(args.sim_seconds)
+    renderer = _renderer(scene, args)
+    rgb = renderer.draw(scene.particle_positions(), scene.particle_velocities())
+    path = ScreenshotRecorder(args.output_dir).screenshot(rgb)
+    print(str(path))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="blub_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("scene")
+        sp.add_argument("--steps-per-second", type=int, default=120)
+        sp.add_argument("--solver-iterations", type=int, default=32)
+        sp.add_argument("--capacity", type=int, default=16)
+        sp.add_argument("--sim-seconds", type=float, default=1.0)
+        sp.add_argument("--width", type=int, default=640)
+        sp.add_argument("--height", type=int, default=480)
+        sp.add_argument("--fluid-mode", default="particles_velocity",
+                        choices=["none", "screen_space_fluid", "particles_velocity", "particles_index"])
+        sp.add_argument("--output-dir", default=".")
+
+    sp = sub.add_parser("info", help="print scene facts")
+    sp.add_argument("scene")
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("run", help="simulate (optionally recording frames)")
+    common(sp)
+    sp.add_argument("--record-fps", type=float, default=0.0)
+    sp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("screenshot", help="simulate then save one frame")
+    common(sp)
+    sp.set_defaults(fn=cmd_screenshot)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

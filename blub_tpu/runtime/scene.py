@@ -102,6 +102,11 @@ class Scene:
 
         return to_positions(self.state.table)
 
+    def particle_velocities(self) -> np.ndarray:
+        valid = np.asarray(self.state.table.valid).reshape(-1)
+        vel = np.asarray(self.state.table.vel).reshape(-1, 3)
+        return vel[valid]
+
     def solver_stats(self) -> dict:
         s = self.state
         return {
