@@ -71,6 +71,12 @@ def cmd_run(args) -> int:
     ctl = SimulationController(scene)
     print(f"scene {scene.config.name}: grid {scene.params.grid_dim}, {scene.params.num_particles} particles", file=sys.stderr)
 
+    if args.resume:
+        from .runtime.checkpoint import load_scene_checkpoint
+
+        load_scene_checkpoint(scene, args.resume)
+        print(f"resumed from {args.resume} at t={scene.total_simulated_time:.3f}s", file=sys.stderr)
+
     recorder = None
     renderer = None
     if args.record_fps:
@@ -98,6 +104,11 @@ def cmd_run(args) -> int:
         )
         next_frame += frame_len
     wall = time.time() - wall0
+    if args.checkpoint_out:
+        from .runtime.checkpoint import save_scene
+
+        path = save_scene(scene, args.checkpoint_out)
+        print(f"checkpoint: {path}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -128,6 +139,31 @@ def cmd_screenshot(args) -> int:
     return 0
 
 
+def cmd_watch(args) -> int:
+    from .gui.dashboard import Dashboard
+    from .render.recorder import ScreenshotRecorder
+    from .runtime.controller import SimulationController
+
+    scene = _build(args)
+    ctl = SimulationController(scene)
+    dash = Dashboard(ctl, renderer=_renderer(scene, args), recorder=ScreenshotRecorder(args.output_dir))
+    dash.run(max_wall_seconds=args.max_wall_seconds)
+    return 0
+
+
+def cmd_profile(args) -> int:
+    from .runtime.profiler import profile_step
+
+    scene = _build(args)
+    for _ in range(3):  # settle into a typical flow regime
+        scene.step()
+    means, timer = profile_step(scene.params, scene.state, solids=scene.current_solids())
+    print(timer.report())
+    path = timer.write_chrometrace(args.trace_out)
+    print(f"chrometrace: {path}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="blub_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -151,11 +187,23 @@ def main(argv=None) -> int:
     sp = sub.add_parser("run", help="simulate (optionally recording frames)")
     common(sp)
     sp.add_argument("--record-fps", type=float, default=0.0)
+    sp.add_argument("--checkpoint-out", default="")
+    sp.add_argument("--resume", default="")
     sp.set_defaults(fn=cmd_run)
 
     sp = sub.add_parser("screenshot", help="simulate then save one frame")
     common(sp)
     sp.set_defaults(fn=cmd_screenshot)
+
+    sp = sub.add_parser("watch", help="interactive terminal dashboard")
+    common(sp)
+    sp.add_argument("--max-wall-seconds", type=float, default=None)
+    sp.set_defaults(fn=cmd_watch)
+
+    sp = sub.add_parser("profile", help="per-phase step timing + chrometrace")
+    common(sp)
+    sp.add_argument("--trace-out", default="simulation-trace.json")
+    sp.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)

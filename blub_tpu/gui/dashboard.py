@@ -1,0 +1,167 @@
+"""Terminal dashboard — the TPU-box analog of the reference's egui GUI
+(src/gui/mod.rs): frame-time and solver error/iteration bar charts, simulation
+controls (pause/resume, fast-forward, reset, steps/s), scene facts, particle
+counts. Renders with ANSI redraw; keys are read raw (termios) when stdin is a
+TTY, otherwise it runs as a non-interactive status monitor.
+
+Keys: [space] pause/resume   [f] fast-forward 1s   [r] reset
+      [+]/[-] sim steps per second                 [s] screenshot   [q] quit
+"""
+
+from __future__ import annotations
+
+import os
+import select
+import sys
+import time
+from collections import deque
+from typing import Deque, Optional
+
+from ..runtime.controller import SimulationController, SimulationControllerStatus
+
+BAR = " ▁▂▃▄▅▆▇█"
+
+
+def _spark(values, width: int = 40, lo=None, hi=None) -> str:
+    vals = list(values)[-width:]
+    if not vals:
+        return ""
+    lo = min(vals) if lo is None else lo
+    hi = max(vals) if hi is None else hi
+    span = max(hi - lo, 1e-12)
+    return "".join(BAR[min(int((v - lo) / span * (len(BAR) - 1)), len(BAR) - 1)] for v in vals)
+
+
+class Dashboard:
+    def __init__(self, controller: SimulationController, renderer=None, recorder=None):
+        self.ctl = controller
+        self.renderer = renderer
+        self.recorder = recorder
+        self.err_vel: Deque[float] = deque(maxlen=100)
+        self.err_den: Deque[float] = deque(maxlen=100)
+        self.iters_vel: Deque[int] = deque(maxlen=100)
+        self.iters_den: Deque[int] = deque(maxlen=100)
+        self.frame_ms: Deque[float] = deque(maxlen=100)
+        self._msg = ""
+
+    # ---------------------------------------------------------------- frame
+
+    def collect(self) -> None:
+        stats = self.ctl.scene.solver_stats()
+        self.err_vel.append(stats["velocity"]["error"])
+        self.err_den.append(stats["density"]["error"])
+        self.iters_vel.append(stats["velocity"]["iterations"])
+        self.iters_den.append(stats["density"]["iterations"])
+        if self.ctl.frame_history:
+            self.frame_ms.append(self.ctl.frame_history[-1].wall_seconds * 1000.0)
+
+    def render(self) -> str:
+        scene = self.ctl.scene
+        cfg = scene.config
+        stats = scene.solver_stats()
+        status = self.ctl.status.value
+        lines = [
+            f"\x1b[1mblub-tpu\x1b[0m  scene \x1b[36m{cfg.name}\x1b[0m   grid {cfg.fluid.grid_dimension}   "
+            f"{scene.params.num_particles:,} particles   [{status}]",
+            "",
+            f"  sim time   {scene.total_simulated_time:9.3f} s    steps {self.ctl.total_steps:8d}    "
+            f"steps/s setting {scene.settings.simulation_steps_per_second}",
+            f"  frame ms   {_spark(self.frame_ms)}  {self.frame_ms[-1] if self.frame_ms else 0:7.1f} ms",
+            "",
+            f"  \x1b[1mpressure solver (velocity)\x1b[0m   error {stats['velocity']['error']:8.4f}   "
+            f"iterations {stats['velocity']['iterations']:3d}",
+            f"    error   {_spark(self.err_vel, lo=0.0)}",
+            f"    iters   {_spark(self.iters_vel, lo=0, hi=max(self.ctl.scene.settings.solver_velocity.max_num_iterations, 1))}",
+            f"  \x1b[1mpressure solver (density)\x1b[0m    error {stats['density']['error']:8.4f}   "
+            f"iterations {stats['density']['iterations']:3d}",
+            f"    error   {_spark(self.err_den, lo=0.0)}",
+            f"    iters   {_spark(self.iters_den, lo=0, hi=max(self.ctl.scene.settings.solver_density.max_num_iterations, 1))}",
+            "",
+            f"  lost particles {stats['lost_particles']}",
+            "",
+            "  [space] pause  [f] +1s fast-forward  [r] reset  [s] screenshot  [q] quit",
+        ]
+        if self._msg:
+            lines.append(f"  \x1b[33m{self._msg}\x1b[0m")
+        return "\n".join(lines)
+
+    # ----------------------------------------------------------------- keys
+
+    def handle_key(self, key: str) -> bool:
+        """Returns False when the dashboard should quit."""
+        if key == "q":
+            return False
+        if key == " ":
+            self.ctl.pause_or_resume()
+        elif key == "f":
+            self._msg = "fast-forwarding 1 s..."
+            self.ctl.fast_forward(1.0)
+            self._msg = "fast-forwarded 1 s"
+        elif key == "r":
+            self.ctl.restart()
+            self._msg = "scene reset"
+        elif key == "+":
+            self._set_rate(self.ctl.scene.settings.simulation_steps_per_second * 2)
+        elif key == "-":
+            self._set_rate(max(self.ctl.scene.settings.simulation_steps_per_second // 2, 20))
+        elif key == "s" and self.renderer is not None and self.recorder is not None:
+            scene = self.ctl.scene
+            rgb = self.renderer.draw(scene.particle_positions(), scene.particle_velocities())
+            path = self.recorder.screenshot(rgb)
+            self._msg = f"wrote {path}"
+        return True
+
+    def _set_rate(self, rate: int) -> None:
+        # SimSettings is frozen; rebuilding it changes dt for subsequent steps
+        import dataclasses
+
+        scene = self.ctl.scene
+        scene.settings = dataclasses.replace(scene.settings, simulation_steps_per_second=rate)
+        self._msg = f"steps/s -> {rate} (takes effect via controller pacing)"
+
+    # ----------------------------------------------------------------- loop
+
+    def run(self, max_wall_seconds: Optional[float] = None, fps: float = 10.0) -> None:
+        interactive = sys.stdin.isatty()
+        ctx = _RawTerminal() if interactive else _NullCtx()
+        t_end = time.monotonic() + max_wall_seconds if max_wall_seconds else None
+        with ctx:
+            while True:
+                self.ctl.frame_steps()
+                self.collect()
+                sys.stdout.write("\x1b[2J\x1b[H" + self.render() + "\n")
+                sys.stdout.flush()
+                if interactive:
+                    r, _, _ = select.select([sys.stdin], [], [], 1.0 / fps)
+                    if r:
+                        key = sys.stdin.read(1)
+                        if not self.handle_key(key):
+                            break
+                else:
+                    time.sleep(1.0 / fps)
+                if t_end is not None and time.monotonic() > t_end:
+                    break
+
+
+class _RawTerminal:
+    def __enter__(self):
+        import termios
+        import tty
+
+        self.fd = sys.stdin.fileno()
+        self.old = termios.tcgetattr(self.fd)
+        tty.setcbreak(self.fd)
+        return self
+
+    def __exit__(self, *exc):
+        import termios
+
+        termios.tcsetattr(self.fd, termios.TCSADRAIN, self.old)
+
+
+class _NullCtx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        pass

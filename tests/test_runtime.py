@@ -1,0 +1,95 @@
+"""Runtime subsystems: checkpoint/resume, profiler, controller, dashboard."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from blub_tpu.core.config import FluidConfig, FluidCube, SceneConfig, SimSettings
+from blub_tpu.runtime.checkpoint import load_scene_checkpoint, save_scene
+from blub_tpu.runtime.controller import SimulationController
+from blub_tpu.runtime.scene import Scene
+
+
+def _mini_scene():
+    return SceneConfig(
+        gravity=(0.0, -9.81, 0.0),
+        fluid=FluidConfig(
+            world_position=(0.0, 0.0, 0.0),
+            grid_to_world_scale=0.01,
+            grid_dimension=(16, 12, 12),
+            max_num_particles=10**6,
+            fluid_cubes=(FluidCube(min=(0.0, 0.0, 0.0), max=(0.06, 0.06, 0.1)),),
+        ),
+        name="mini",
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    scene = Scene(_mini_scene(), SimSettings())
+    for _ in range(5):
+        scene.step()
+    p_before = scene.particle_positions()
+    t_before = scene.total_simulated_time
+    path = save_scene(scene, tmp_path / "ckpt.npz")
+
+    scene2 = Scene(_mini_scene(), SimSettings())
+    load_scene_checkpoint(scene2, path)
+    np.testing.assert_array_equal(scene2.particle_positions(), p_before)
+    assert scene2.total_simulated_time == t_before
+
+    # resumed simulation continues identically to the original
+    scene.step()
+    scene2.step()
+    np.testing.assert_allclose(scene2.particle_positions(), scene.particle_positions(), atol=1e-6)
+
+
+def test_checkpoint_rejects_wrong_scene(tmp_path):
+    scene = Scene(_mini_scene(), SimSettings())
+    path = save_scene(scene, tmp_path / "c.npz")
+    import dataclasses
+
+    other = Scene(dataclasses.replace(_mini_scene(), name="other"), SimSettings())
+    with pytest.raises(ValueError, match="scene"):
+        load_scene_checkpoint(other, path)
+
+
+def test_profiler_phases():
+    from blub_tpu.runtime.profiler import profile_step
+
+    scene = Scene(_mini_scene(), SimSettings())
+    scene.step()
+    means, timer = profile_step(scene.params, scene.state, repeats=1)
+    assert "p2g velocity" in means and "pcg velocity" in means
+    assert all(v >= 0 for v in means.values())
+    report = timer.report()
+    assert "total" in report
+
+
+def test_chrometrace_export(tmp_path):
+    from blub_tpu.runtime.profiler import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    path = t.write_chrometrace(tmp_path / "trace.json")
+    import json
+
+    data = json.loads(path.read_text())
+    assert data["traceEvents"][0]["name"] == "a"
+
+
+def test_dashboard_renders_and_handles_keys():
+    from blub_tpu.gui.dashboard import Dashboard
+
+    scene = Scene(_mini_scene(), SimSettings())
+    ctl = SimulationController(scene)
+    dash = Dashboard(ctl)
+    ctl.frame_steps()
+    dash.collect()
+    text = dash.render()
+    assert "pressure solver" in text and "mini" in text
+    assert dash.handle_key(" ") is True  # pause
+    assert ctl.status.value == "paused"
+    assert dash.handle_key(" ") is True  # resume
+    assert dash.handle_key("q") is False
