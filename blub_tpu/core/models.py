@@ -72,8 +72,16 @@ def mesh_sdf(
     verts: np.ndarray, tris: np.ndarray, points: np.ndarray, chunk: int = 32768
 ) -> np.ndarray:
     """Brute-force signed distance from ``points`` f32[N,3] to a triangle mesh.
-    Sign via +x ray-crossing parity. O(N*T) on the host — meshes here are small
-    and this runs once per scene load."""
+    Sign via +x ray-crossing parity. O(N*T) on the host — runs once per scene
+    load; the multithreaded C++ implementation is used when available."""
+    try:
+        from ..ops.native import mesh_sdf_native
+
+        out = mesh_sdf_native(verts, tris, points)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     a = verts[tris[:, 0]]
     b = verts[tris[:, 1]]
     c = verts[tris[:, 2]]

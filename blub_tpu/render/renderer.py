@@ -82,6 +82,20 @@ class SceneRenderer:
         f = self.camera.focal_px(h)
         r_px = np.clip(f * radius / np.maximum(z, 1e-3), 0.6, 8.0)
 
+        try:
+            from ..ops.native import splat_native
+
+            out = splat_native(px, py, z.astype(np.float32), r_px, valid, w, h, f)
+        except Exception:
+            out = None
+        if out is not None:
+            depth_n, winner_n = out
+            if values is None:
+                return depth_n, None
+            winner_n = winner_n.astype(np.int64)
+            winner_n[depth_n >= _FAR] = -1
+            return depth_n, winner_n
+
         depth = np.full(h * w, _FAR, np.float32)
         keys = np.full(h * w, np.iinfo(np.int64).max, np.int64) if values is not None else None
 
