@@ -58,15 +58,18 @@ def marker_from_table(
 
     Particles with primal cell g have base bin b = floor(p-0.5) equal to g or
     g-1 per axis, so scan the 8-offset window o in {-1,0}^3 (read[g] = bin
-    g+o; the particle belongs iff its floor == g).
+    g+o; the particle belongs iff its floor == g, i.e. its per-axis primal
+    offset floor(p)-bin equals -o). The test rolls a tiny 3-bit per-slot code
+    instead of full position vectors — ~12x less traffic.
     """
     grid_dim = table.grid_dim
     idx = _cell_centers(grid_dim)[:, :, :, None, :]  # [X,Y,Z,1,3]
+    prim = (jnp.floor(table.pos) - jnp.floor(table.pos - 0.5)).astype(jnp.int8)
+    code = prim[..., 0] + 2 * prim[..., 1] + 4 * prim[..., 2]  # i8[X,Y,Z,K]
     fluid = jnp.zeros(grid_dim, jnp.bool_)
     for off in ((ox, oy, oz) for ox in (-1, 0) for oy in (-1, 0) for oz in (-1, 0)):
-        p = _roll(table.pos, off)
-        v = _roll(table.valid, off)
-        hit = v & jnp.all(jnp.floor(p) == idx, axis=-1)
+        need = jnp.int8(-off[0] + 2 * -off[1] + 4 * -off[2])
+        hit = _roll(table.valid & (code == need), off)
         fluid = fluid | jnp.any(hit, axis=-1)
     marker = jnp.where(fluid, jnp.int8(CELL_FLUID), jnp.int8(CELL_AIR))
     solid = border_mask(grid_dim)

@@ -66,16 +66,35 @@ def make_dense_state(params: SimParams, pos_np, capacity: int = 16) -> DenseFlui
     )
 
 
+def _use_pallas(params: SimParams) -> bool:
+    """Pallas kernels need a real TPU backend and Y divisible by 8."""
+    import os
+
+    if os.environ.get("BLUB_DISABLE_PALLAS"):
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform not in ("cpu", "gpu") and params.grid_dim[1] % 8 == 0
+
+
 def step_dense(
     params: SimParams, state: DenseFluidState, solids: Optional[SolidState] = None
 ) -> DenseFluidState:
     table = state.table
     occupancy = solids.occupancy if solids is not None else None
     solid_vel = solids.velocity if solids is not None else None
+    use_pallas = _use_pallas(params)
 
     # --- transfer & divergence ------------------------------------------------
     marker = marker_from_table(table, occupancy)
-    vel = p2g_velocity_dense(table, marker, params.gravity_grid, params.dt)
+    if use_pallas:
+        from ..ops.pallas_p2g import p2g_velocity_density_pallas
+
+        vel, _ = p2g_velocity_density_pallas(table, marker, params.gravity_grid, params.dt)
+    else:
+        vel = p2g_velocity_dense(table, marker, params.gravity_grid, params.dt)
     rhs = compute_divergence_rhs(vel, marker, solid_vel)
 
     # --- pressure projection (velocity) --------------------------------------
@@ -89,7 +108,12 @@ def step_dense(
 
     # --- implicit density projection ------------------------------------------
     marker2 = marker_from_table(table, occupancy)
-    raw_density = p2g_density_dense(table)
+    if use_pallas:
+        from ..ops.pallas_p2g import p2g_density_pallas
+
+        raw_density = p2g_density_pallas(table)
+    else:
+        raw_density = p2g_density_dense(table)
     den_rhs = density_rhs_from_raw(raw_density, marker2, params.dt)
     res_den = solve_pressure(state.pressure_den, den_rhs, marker2, params.solver_den, params.dt)
 

@@ -126,14 +126,19 @@ def _pack_axis(flags: jax.Array, cand: Tuple[jax.Array, ...], k_out: int):
     c = flags.shape[-1]
     prefix = jnp.cumsum(flags.astype(jnp.int32), axis=-1) - flags.astype(jnp.int32)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, flags.shape + (k_out,), flags.ndim)
-    onehot = ((prefix[..., None] == slot_ids) & flags[..., None]).astype(jnp.float32)
-    # onehot: [..., C, k_out]
-    packed_valid = jnp.any(onehot > 0, axis=-2)
+    hit = (prefix[..., None] == slot_ids) & flags[..., None]
+    packed_valid = jnp.any(hit, axis=-2)
     out = []
     for a in cand:
-        extra = a.ndim - flags.ndim  # payload dims after candidate axis
         flat = a.reshape(a.shape[: flags.ndim] + (-1,))  # [..., C, D]
-        packed = jnp.einsum("...ck,...cd->...kd", onehot, flat, preferred_element_type=jnp.float32)
+        # The pack is a 0/1 permutation and must move payload bits EXACTLY —
+        # an MXU matmul does not (TPU f32 matmuls run as bf16 passes under
+        # --xla_allow_excess_precision, quantizing particle positions every
+        # rebin). A where/sum over the candidate axis stays on the VPU: the
+        # sum adds exactly one non-zero term, so it is bit-exact.
+        packed = jnp.sum(
+            jnp.where(hit[..., None], flat[..., :, None, :], 0.0), axis=-3
+        )
         out.append(packed.reshape(a.shape[: flags.ndim - 1] + (k_out,) + a.shape[flags.ndim :]))
     total = jnp.sum(flags.astype(jnp.int32))
     kept = jnp.sum(packed_valid.astype(jnp.int32))
@@ -147,52 +152,51 @@ def rebin(table: ParticleTable, max_shift: int, slack: int = 4) -> ParticleTable
     ``capacity + slack`` slots to absorb transient crowding. Dense everywhere:
     candidates for a cell are the slots of its (2*max_shift+1) neighbors along
     the active axis, flagged by whether their target bin lands here.
+
+    Traffic-lean formulation: the flags come from rolling a small per-slot
+    axis-delta code (i32[X,Y,Z,K]) rather than full position vectors, and all
+    15 payload floats (pos, vel, affine) move through ONE onehot matmul per
+    stage; the next stage recomputes its delta from the packed positions.
     """
     k = table.capacity
     grid_dim = table.grid_dim
-    pos, vel, aff = table.pos, table.vel, table.affine
+    dim_arr = jnp.asarray(grid_dim, jnp.int32)
+    payload = jnp.concatenate(
+        [table.pos, table.vel, table.affine.reshape(grid_dim + (k, 9))], axis=-1
+    )  # [X,Y,Z,K,15]
     valid = table.valid
     lost = table.lost
-
-    target = base_bin(pos)
-    target = jnp.clip(target, 0, jnp.asarray(grid_dim, jnp.int32) - 1)
 
     offsets = list(range(-max_shift, max_shift + 1))
     for axis in range(3):
         k_in = valid.shape[3]
         k_out = k + slack if axis < 2 else k
         coord = jax.lax.broadcasted_iota(jnp.int32, grid_dim + (k_in,), axis)
+        target_ax = jnp.clip(
+            jnp.floor(payload[..., axis] - 0.5).astype(jnp.int32), 0, dim_arr[axis] - 1
+        )
+        delta = target_ax - coord  # slot wants to move `delta` cells along axis
 
         flag_parts = []
-        pos_parts, vel_parts, aff_parts, tgt_parts = [], [], [], []
+        cand_parts = []
         for off in offsets:
             shift_vec = [0, 0, 0]
             shift_vec[axis] = -off  # cell g looks at neighbor g+off
-            sl_valid = jnp.roll(valid, shift_vec, axis=(0, 1, 2))
-            sl_tgt = jnp.roll(target, shift_vec, axis=(0, 1, 2))
-            sl_tgt_ax = sl_tgt[..., axis]
-            # neighbor at g+off: its slots land here iff target axis == my coord
-            flag = sl_valid & (sl_tgt_ax == coord)
-            # roll wraps around the domain; wrapped entries have target != coord
-            # at the far side (positions are clamped inside [1, dim-1]) so no
-            # explicit border masking is needed.
-            flag_parts.append(flag)
-            pos_parts.append(jnp.roll(pos, shift_vec, axis=(0, 1, 2)))
-            vel_parts.append(jnp.roll(vel, shift_vec, axis=(0, 1, 2)))
-            aff_parts.append(jnp.roll(aff, shift_vec, axis=(0, 1, 2)))
-            tgt_parts.append(sl_tgt)
+            # neighbor's slot lands here iff its delta == -off; wrapped cells
+            # can't match (positions are clamped inside [1, dim-1], so |delta|
+            # stays <= max_shift while a wrap needs |delta| ~ dim).
+            flag_parts.append(jnp.roll(valid & (delta == -off), shift_vec, axis=(0, 1, 2)))
+            cand_parts.append(jnp.roll(payload, shift_vec, axis=(0, 1, 2)))
 
-        flags = jnp.concatenate(flag_parts, axis=-1)  # [X,Y,Z, C]
-        cpos = jnp.concatenate(pos_parts, axis=3)
-        cvel = jnp.concatenate(vel_parts, axis=3)
-        caff = jnp.concatenate(aff_parts, axis=3).reshape(grid_dim + (flags.shape[-1], 9))
-        ctgt = jnp.concatenate(tgt_parts, axis=3).astype(jnp.float32)
-
-        valid, (pos, vel, aff9, tgtf), over = _pack_axis(
-            flags, (cpos, cvel, caff, ctgt), k_out
-        )
-        aff = aff9.reshape(grid_dim + (k_out, 3, 3))
-        target = tgtf.astype(jnp.int32)
+        flags = jnp.concatenate(flag_parts, axis=-1)  # [X,Y,Z,C]
+        cand = jnp.concatenate(cand_parts, axis=3)  # [X,Y,Z,C,15]
+        valid, (payload,), over = _pack_axis(flags, (cand,), k_out)
         lost = lost + over
 
-    return ParticleTable(pos=pos, vel=vel, affine=aff, valid=valid, lost=lost)
+    return ParticleTable(
+        pos=payload[..., 0:3],
+        vel=payload[..., 3:6],
+        affine=payload[..., 6:15].reshape(grid_dim + (k, 3, 3)),
+        valid=valid,
+        lost=lost,
+    )
