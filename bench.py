@@ -28,9 +28,11 @@ def main() -> None:
     from blub_tpu.core.types import SimParams
     from blub_tpu.sim.step_dense import make_dense_state, make_jitted_dense_step
 
-    grid = tuple(int(v) for v in os.environ.get("BLUB_BENCH_GRID", "128,128,128").split(","))
-    n_steps = int(os.environ.get("BLUB_BENCH_STEPS", "60"))
-    capacity = int(os.environ.get("BLUB_BENCH_CAPACITY", "12"))
+    # Default: dam_halfhalf scale (the reference's standard scene:
+    # 128x64x64 grid, ~1M particles; scenes/dam_halfhalf.json).
+    grid = tuple(int(v) for v in os.environ.get("BLUB_BENCH_GRID", "128,64,64").split(","))
+    n_steps = int(os.environ.get("BLUB_BENCH_STEPS", "30"))
+    capacity = int(os.environ.get("BLUB_BENCH_CAPACITY", "16"))
 
     # Dam filling the lower-left half: ~1/4 of cells -> grid(128^3) ~ 4M particles.
     x, y, z = grid
