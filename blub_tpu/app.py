@@ -30,7 +30,12 @@ def _build(args):
 
 
 def _renderer(scene, args):
-    from .render.renderer import FluidRenderingMode, RenderSettings, SceneRenderer
+    from .render.renderer import (
+        FluidRenderingMode,
+        RenderSettings,
+        SceneRenderer,
+        VolumeVisualizationMode,
+    )
 
     return SceneRenderer(
         scene.params.grid_dim,
@@ -38,7 +43,21 @@ def _renderer(scene, args):
             width=args.width,
             height=args.height,
             fluid_mode=FluidRenderingMode(args.fluid_mode),
+            volume_mode=VolumeVisualizationMode(getattr(args, "volume_mode", "none")),
         ),
+    )
+
+
+def _draw(scene, renderer):
+    field = None
+    vector = False
+    mode = renderer.settings.volume_mode.value
+    if mode != "none":
+        fields = scene.debug_fields()
+        field = fields.get(mode)
+        vector = mode == "velocity"
+    return renderer.draw(
+        scene.particle_positions(), scene.particle_velocities(), field=field, field_is_vector=vector
     )
 
 
@@ -92,8 +111,7 @@ def cmd_run(args) -> int:
     while scene.total_simulated_time < t_end - 1e-9:
         ctl.fast_forward(min(frame_len, t_end - scene.total_simulated_time))
         if recorder is not None:
-            rgb = renderer.draw(scene.particle_positions(), scene.particle_velocities())
-            recorder.capture_frame(rgb)
+            recorder.capture_frame(_draw(scene, renderer))
         stats = scene.solver_stats()
         print(
             f"t={scene.total_simulated_time:7.3f}s steps={ctl.total_steps:6d} "
@@ -133,8 +151,7 @@ def cmd_screenshot(args) -> int:
     if args.sim_seconds > 0:
         ctl.fast_forward(args.sim_seconds)
     renderer = _renderer(scene, args)
-    rgb = renderer.draw(scene.particle_positions(), scene.particle_velocities())
-    path = ScreenshotRecorder(args.output_dir).screenshot(rgb)
+    path = ScreenshotRecorder(args.output_dir).screenshot(_draw(scene, renderer))
     print(str(path))
     return 0
 
@@ -178,6 +195,9 @@ def main(argv=None) -> int:
         sp.add_argument("--height", type=int, default=480)
         sp.add_argument("--fluid-mode", default="particles_velocity",
                         choices=["none", "screen_space_fluid", "particles_velocity", "particles_index"])
+        sp.add_argument("--volume-mode", default="none",
+                        choices=["none", "velocity", "divergence_error",
+                                 "pressure_from_velocity", "pressure_from_density", "marker"])
         sp.add_argument("--output-dir", default=".")
 
     sp = sub.add_parser("info", help="print scene facts")

@@ -107,6 +107,30 @@ class Scene:
         vel = np.asarray(self.state.table.vel).reshape(-1, 3)
         return vel[valid]
 
+    def debug_fields(self) -> dict:
+        """Grid fields for volume visualization — the analog of the reference's
+        VolumeVisualizationMode sources (divergence error, both pressure
+        fields, marker; volume_renderer.rs)."""
+        import jax.numpy as jnp
+
+        from ..sim.dense_transfer import marker_from_table, p2g_velocity_dense
+        from ..sim.divergence import compute_divergence_rhs
+
+        solids = self.current_solids()
+        occupancy = solids.occupancy if solids is not None else None
+        solid_vel = solids.velocity if solids is not None else None
+        table = self.state.table
+        marker = marker_from_table(table, occupancy)
+        vel = p2g_velocity_dense(table, marker, self.params.gravity_grid, self.params.dt)
+        div = compute_divergence_rhs(vel, marker, solid_vel)
+        return {
+            "velocity": np.stack([np.asarray(v) for v in vel], axis=-1),
+            "divergence_error": np.asarray(div),
+            "pressure_from_velocity": np.asarray(self.state.pressure_vel),
+            "pressure_from_density": np.asarray(self.state.pressure_den),
+            "marker": np.asarray(marker).astype(np.float32),
+        }
+
     def solver_stats(self) -> dict:
         s = self.state
         return {
