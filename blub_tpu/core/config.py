@@ -189,6 +189,12 @@ class SimSettings:
     solver_velocity: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     solver_density: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     particle_rebinning_frequency: int = 60  # reference hybrid_fluid.rs:604
+    # CFL target in cells per (sub)step: when max|v|*dt exceeds this, the
+    # scene runs 2-4 substeps. TPU-native addition (the reference has no CFL
+    # control; its violent scenes overrun its own per-cell assumptions too).
+    # 0 disables substepping.
+    cfl_target: float = 1.5
+    max_substeps: int = 4
 
     @property
     def dt(self) -> float:

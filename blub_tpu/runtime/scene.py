@@ -47,34 +47,57 @@ class Scene:
         self._initial_pos = pos
         self.state: DenseFluidState = make_dense_state(self.params, pos, capacity)
         self.total_simulated_time = 0.0
+        self._jitted_cache: dict = {}
+        self._last_max_speed = 0.0
 
-        params = self.params
+    def _get_step(self, n_sub: int):
+        """Jitted step for dt/n_sub (cached per substep count)."""
+        if n_sub in self._jitted_cache:
+            return self._jitted_cache[n_sub]
+        import dataclasses as _dc
+
+        params = _dc.replace(self.params, dt=self.params.dt / n_sub)
         grid_dim = params.grid_dim
         pad_los = tuple(self._pad_los)
-
         if self.solid_objects:
 
             def _step(state, sdfs, shifts, vts, oms, cts):
                 solids = voxelize_step(sdfs, pad_los, shifts, vts, oms, cts, grid_dim)
                 return step_dense(params, state, solids)
 
-            self._jitted = jax.jit(_step, donate_argnums=(0,))
+            fn = jax.jit(_step, donate_argnums=(0,))
         else:
-            self._jitted = jax.jit(partial(step_dense, params), donate_argnums=(0,))
+            fn = jax.jit(partial(step_dense, params), donate_argnums=(0,))
+        self._jitted_cache[n_sub] = fn
+        return fn
 
     # -- stepping --------------------------------------------------------
 
     def step(self) -> None:
-        """Advance one simulation step of dt (Scene::step, scene/mod.rs:166)."""
+        """Advance one simulation step of dt (Scene::step, scene/mod.rs:166),
+        split into CFL-bounded substeps when the flow is violent."""
+        import math
+
         dt = self.settings.dt
-        if self.solid_objects:
-            # Reference animates models to the *post-step* time before
-            # voxelizing (Timer ticks first): use t + dt.
-            t = self.total_simulated_time + dt
-            shifts, vts, oms, cts = solid_params_at(self.solid_objects, t, dt)
-            self.state = self._jitted(self.state, self._sdfs, shifts, vts, oms, cts)
-        else:
-            self.state = self._jitted(self.state)
+        n_sub = 1
+        if self.settings.cfl_target > 0 and self._last_max_speed > 0:
+            cells_per_step = self._last_max_speed * dt
+            n_sub = min(
+                max(1, math.ceil(cells_per_step / self.settings.cfl_target)),
+                max(self.settings.max_substeps, 1),
+            )
+        fn = self._get_step(n_sub)
+        sub_dt = dt / n_sub
+        for s in range(n_sub):
+            if self.solid_objects:
+                # Reference animates models to the *post-step* time before
+                # voxelizing (Timer ticks first): use t + sub_dt.
+                t = self.total_simulated_time + (s + 1) * sub_dt
+                shifts, vts, oms, cts = solid_params_at(self.solid_objects, t, sub_dt)
+                self.state = fn(self.state, self._sdfs, shifts, vts, oms, cts)
+            else:
+                self.state = fn(self.state)
+        self._last_max_speed = float(jax.device_get(self.state.max_speed))
         self.total_simulated_time += dt
 
     def current_solids(self) -> Optional[SolidState]:
@@ -91,6 +114,7 @@ class Scene:
         """Rebuild the fluid from the scene config (Scene::reset)."""
         self.state = make_dense_state(self.params, self._initial_pos, self.capacity)
         self.total_simulated_time = 0.0
+        self._last_max_speed = 0.0
 
     # -- introspection ----------------------------------------------------
 

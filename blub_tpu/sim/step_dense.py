@@ -51,6 +51,7 @@ class DenseFluidState:
     step_index: jax.Array
     stats_vel: SolverStats
     stats_den: SolverStats
+    max_speed: jax.Array  # f32 scalar: max |v| (grid/s) — drives CFL substepping
 
 
 def make_dense_state(params: SimParams, pos_np, capacity: int = 16) -> DenseFluidState:
@@ -63,6 +64,7 @@ def make_dense_state(params: SimParams, pos_np, capacity: int = 16) -> DenseFlui
         step_index=jnp.int32(0),
         stats_vel=SolverStats.zero(),
         stats_den=SolverStats.zero(),
+        max_speed=jnp.float32(0.0),
     )
 
 
@@ -85,7 +87,8 @@ def step_dense(
     table = state.table
     occupancy = solids.occupancy if solids is not None else None
     solid_vel = solids.velocity if solids is not None else None
-    use_pallas = _use_pallas(params)
+    # capacity > 24 exceeds the Pallas kernel's VMEM window budget
+    use_pallas = _use_pallas(params) and state.table.capacity <= 24
 
     # --- transfer & divergence ------------------------------------------------
     marker = marker_from_table(table, occupancy)
@@ -124,6 +127,11 @@ def step_dense(
     table = correct_particles_dense(table, change, marker2)
     table = rebin(table, max_shift=1)
 
+    speed = jnp.sqrt(
+        jnp.max(
+            jnp.where(table.valid, jnp.sum(table.vel * table.vel, axis=-1), 0.0)
+        )
+    )
     return DenseFluidState(
         table=table,
         pressure_vel=res_vel.pressure,
@@ -131,6 +139,7 @@ def step_dense(
         step_index=state.step_index + 1,
         stats_vel=res_vel.stats,
         stats_den=res_den.stats,
+        max_speed=speed.astype(jnp.float32),
     )
 
 
