@@ -177,20 +177,42 @@ def rebin(table: ParticleTable, max_shift: int, slack: int = 4) -> ParticleTable
         )
         delta = target_ax - coord  # slot wants to move `delta` cells along axis
 
-        flag_parts = []
-        cand_parts = []
-        for off in offsets:
-            shift_vec = [0, 0, 0]
-            shift_vec[axis] = -off  # cell g looks at neighbor g+off
-            # neighbor's slot lands here iff its delta == -off; wrapped cells
-            # can't match (positions are clamped inside [1, dim-1], so |delta|
-            # stays <= max_shift while a wrap needs |delta| ~ dim).
-            flag_parts.append(jnp.roll(valid & (delta == -off), shift_vec, axis=(0, 1, 2)))
-            cand_parts.append(jnp.roll(payload, shift_vec, axis=(0, 1, 2)))
+        def do_stage(payload, valid, delta=delta, axis=axis, k_out=k_out):
+            flag_parts = []
+            cand_parts = []
+            for off in offsets:
+                shift_vec = [0, 0, 0]
+                shift_vec[axis] = -off  # cell g looks at neighbor g+off
+                # neighbor's slot lands here iff its delta == -off; wrapped
+                # cells can't match (positions are clamped inside [1, dim-1],
+                # so |delta| <= max_shift while a wrap needs |delta| ~ dim).
+                flag_parts.append(
+                    jnp.roll(valid & (delta == -off), shift_vec, axis=(0, 1, 2))
+                )
+                cand_parts.append(jnp.roll(payload, shift_vec, axis=(0, 1, 2)))
+            flags = jnp.concatenate(flag_parts, axis=-1)  # [X,Y,Z,C]
+            cand = jnp.concatenate(cand_parts, axis=3)  # [X,Y,Z,C,15]
+            new_valid, (new_payload,), over = _pack_axis(flags, (cand,), k_out)
+            return new_payload, new_valid, over
 
-        flags = jnp.concatenate(flag_parts, axis=-1)  # [X,Y,Z,C]
-        cand = jnp.concatenate(cand_parts, axis=3)  # [X,Y,Z,C,15]
-        valid, (payload,), over = _pack_axis(flags, (cand,), k_out)
+        def skip_stage(payload, valid, k_out=k_out, k_in=k_in):
+            # nothing moves along this axis: keep slots, just adjust capacity
+            if k_out > k_in:
+                pads = [(0, 0)] * 5
+                pads[3] = (0, k_out - k_in)
+                return jnp.pad(payload, pads), jnp.pad(valid, pads[:4]), jnp.int32(0)
+            return payload[:, :, :, :k_out], valid[..., :k_out], jnp.int32(0)
+
+        # Data-dependent stage skip: in gravity-aligned or settling flow whole
+        # axes see no bin changes and the (expensive) pack can be bypassed.
+        # A shrinking stage (k_out < k_in) additionally requires the tail
+        # slots to be empty, else truncation would drop stationary particles.
+        needs = jnp.any(valid & (delta != 0))
+        if k_out < k_in:
+            needs = needs | jnp.any(valid[..., k_out:])
+        payload, valid, over = jax.lax.cond(
+            needs, do_stage, skip_stage, payload, valid
+        )
         lost = lost + over
 
     return ParticleTable(
