@@ -1,0 +1,351 @@
+"""Pallas rebin kernel: the dense particle-table shuffle, on-chip.
+
+Rebinning restores the table invariant (valid slot at cell b holds a particle
+with floor(pos-0.5)==b) after positions moved. The XLA formulation
+(sim/table.py::rebin) is mathematically identical but materializes the
+candidate tensors in HBM — at dam scale it was ~70% of the whole step
+(VERDICT.md weak #1). This kernel runs the same axis-split pack per block in
+VMEM: one window read, one core write, zero HBM intermediates, with a
+block-level early-exit (@pl.when) that reduces calm/axis-aligned flow to a
+straight copy-through.
+
+Replaces the reference's binning pipeline (shader/simulation/
+particle_binning*.comp + hybrid_fluid.rs:854-894) — there binning is a perf
+nicety every 60 steps; here it is correctness-bearing and runs twice a step.
+
+Pack semantics are IDENTICAL to sim/table.py::rebin (same candidate order:
+offset ascending, then slot), and the pack multiplies payloads by exact 0/1
+f32 masks on the VPU — bit-exact transport, never a matmul (MXU f32 matmuls
+run as bf16 on this platform; see tests/test_pallas.py::test_rebin_is_bit_exact).
+
+Windowing: resident arrays are unpadded in x/y. Each block DMAs its window in
+three statically-placed parts per haloed axis (lead halo | core | trail halo),
+with edge parts clamped into bounds; a per-row "expected coordinate" mask
+(actual == expected) kills the clamped duplicate rows exactly, so no spatial
+padding and no dynamic sublane slicing is ever needed. Requirements:
+bx | X with bx >= max_shift, Y % 8 == 0, and the halo part size (8) on y
+covers max_shift <= 8.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sim.slot_major import CH_VALID, NUM_CH, SlotMajorTable
+
+_YH = 8  # y halo part size (sublane slices must be 8-aligned in start+size)
+
+
+def _target(pos_a: jax.Array, dim_a: int) -> jax.Array:
+    """Destination bin along one axis: clip(floor(p - 0.5), 0, dim-1).
+    Matches sim/table.py::rebin's target_ax bit for bit (f32 compare of small
+    integers is exact)."""
+    return jnp.clip(jnp.floor(pos_a - 0.5), 0.0, float(dim_a - 1))
+
+
+def _stage_kernel(
+    data_hbm,
+    out_ref,
+    win,
+    sem_a,
+    sem_b,
+    sem_c,
+    *,
+    axis: int,
+    s: int,
+    k_in: int,
+    k_out: int,
+    bx: int,
+    by: int,
+    X: int,
+    Y: int,
+    Zp: int,
+    dim_a: int,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    # ---- window DMA: lead halo | core | trail halo along the pack axis ----
+    if axis == 0:
+        a0 = jnp.clip(i * bx - s, 0, X - s)
+        c0 = jnp.clip(i * bx + bx, 0, X - s)
+        copies = [
+            pltpu.make_async_copy(
+                data_hbm.at[:, :, pl.ds(a0, s), pl.ds(j * by, by), :],
+                win.at[:, :, pl.ds(0, s)],
+                sem_a,
+            ),
+            pltpu.make_async_copy(
+                data_hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
+                win.at[:, :, pl.ds(s, bx)],
+                sem_b,
+            ),
+            pltpu.make_async_copy(
+                data_hbm.at[:, :, pl.ds(c0, s), pl.ds(j * by, by), :],
+                win.at[:, :, pl.ds(s + bx, s)],
+                sem_c,
+            ),
+        ]
+    elif axis == 1:
+        a0 = jnp.clip(j * by - _YH, 0, Y - _YH)
+        c0 = jnp.clip(j * by + by, 0, Y - _YH)
+        copies = [
+            pltpu.make_async_copy(
+                data_hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(a0, _YH), :],
+                win.at[:, :, :, pl.ds(0, _YH)],
+                sem_a,
+            ),
+            pltpu.make_async_copy(
+                data_hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
+                win.at[:, :, :, pl.ds(_YH, by)],
+                sem_b,
+            ),
+            pltpu.make_async_copy(
+                data_hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(c0, _YH), :],
+                win.at[:, :, :, pl.ds(_YH + by, _YH)],
+                sem_c,
+            ),
+        ]
+    else:
+        copies = [
+            pltpu.make_async_copy(
+                data_hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
+                win,
+                sem_a,
+            )
+        ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    wshape = win.shape[2:]  # (wx, wy, Zp)
+    wpos = win[:, axis]  # [k_in, wx, wy, Zp] position along the pack axis
+    wvalid = win[:, CH_VALID] > 0.5
+    wtarget = _target(wpos, dim_a)
+
+    # actual vs expected global coordinate per window row along the pack axis
+    # (clamped edge parts hold duplicate rows; actual != expected kills them)
+    riota = jax.lax.broadcasted_iota(jnp.int32, wshape, axis)
+    if axis == 0:
+        actual = jnp.where(
+            riota < s,
+            a0 + riota,
+            jnp.where(riota < s + bx, i * bx + riota - s, c0 + riota - s - bx),
+        )
+        expected = i * bx - s + riota
+        core = (slice(s, s + bx), slice(None), slice(None))
+        gout_base = i * bx
+    elif axis == 1:
+        actual = jnp.where(
+            riota < _YH,
+            a0 + riota,
+            jnp.where(riota < _YH + by, j * by + riota - _YH, c0 + riota - _YH - by),
+        )
+        expected = j * by - _YH + riota
+        core = (slice(None), slice(_YH, _YH + by), slice(None))
+        gout_base = j * by
+    else:
+        actual = riota
+        expected = riota
+        core = (slice(None), slice(None), slice(None))
+        gout_base = 0
+    rowok = actual == expected
+    actual_f = actual.astype(jnp.float32)
+
+    # ---- block-level early-exit ----
+    movers = jnp.any(wvalid & rowok[None] & (wtarget != actual_f[None]))
+    needs = movers
+    if k_out < k_in:
+        # shrinking the slot dim additionally requires the tail slots of the
+        # CORE cells to be empty, else the copy-through would truncate
+        tail = win[k_out:, CH_VALID][(slice(None),) + core]
+        needs = needs | jnp.any(tail > 0.5)
+
+    @pl.when(jnp.logical_not(needs))
+    def _copy_through():
+        for q in range(k_out):
+            if q < k_in:
+                out_ref[q] = win[q][(slice(None),) + core]
+            else:
+                out_ref[q] = jnp.zeros((NUM_CH, bx, by, Zp), jnp.float32)
+
+    @pl.when(needs)
+    def _pack():
+        gout = (
+            gout_base + jax.lax.broadcasted_iota(jnp.int32, (bx, by, Zp), axis)
+        ).astype(jnp.float32)
+        # zero-init so the accumulation below can skip all-empty candidates
+        for q in range(k_out):
+            out_ref[q] = jnp.zeros((NUM_CH, bx, by, Zp), jnp.float32)
+        running = jnp.zeros((bx, by, Zp), jnp.int32)
+        c_idx = 0
+        for off in range(-s, s + 1):
+            # slab: candidate cells at (out cell + off) along the pack axis —
+            # static window slices (x/y) or a lane roll (z)
+            if axis == 0:
+                sl = (slice(s + off, s + off + bx), slice(None), slice(None))
+                f_all = (
+                    wvalid[(slice(None),) + sl]
+                    & rowok[None][(slice(None),) + sl]
+                    & (wtarget[(slice(None),) + sl] == gout[None])
+                )
+            elif axis == 1:
+                sl = (slice(None), slice(_YH + off, _YH + off + by), slice(None))
+                f_all = (
+                    wvalid[(slice(None),) + sl]
+                    & rowok[None][(slice(None),) + sl]
+                    & (wtarget[(slice(None),) + sl] == gout[None])
+                )
+            else:
+                # jnp.roll(x, 0) lowers to a zero-size slice in Mosaic
+                def _zroll(a, o=off):
+                    return jnp.roll(a, -o, axis=3) if o else a
+
+                lane_ok = (riota + off >= 0) & (riota + off < Zp)
+                # roll the f32 valid channel: Mosaic can't roll i1 vregs
+                f_all = (
+                    (_zroll(win[:, CH_VALID]) > 0.5)
+                    & lane_ok[None]
+                    & (_zroll(wtarget) == gout[None])
+                )
+            # data-dependent skips: a whole offset (e.g. +-2 in near-settled
+            # flow) or a slot (upper slots of half-full cells) with no
+            # arrivals anywhere in the block costs only its `any` reduce.
+            off_any = jnp.any(f_all)
+            dests = []
+            for k in range(k_in):
+                dests.append(running)
+                running = running + f_all[k].astype(jnp.int32)
+
+            @pl.when(off_any)
+            def _accumulate(off=off, f_all=f_all, dests=dests, c_base=c_idx, sl_=sl if axis != 2 else None):
+                for k in range(k_in):
+                    fk = f_all[k]
+                    dest = dests[k]
+                    if axis == 2:
+                        payload = _zroll(win[k])
+                    else:
+                        payload = win[k][(slice(None),) + sl_]
+
+                    @pl.when(jnp.any(fk))
+                    def _slot(fk=fk, dest=dest, payload=payload, c=c_base + k):
+                        for q in range(min(c + 1, k_out)):
+                            m = ((dest == q) & fk).astype(jnp.float32)[None]
+                            out_ref[q] = out_ref[q] + m * payload
+
+            c_idx += k_in
+
+
+@functools.partial(
+    jax.jit, static_argnames=("axis", "s", "k_out", "dim_a", "bx", "by", "interpret")
+)
+def _rebin_stage(
+    data: jax.Array,
+    *,
+    axis: int,
+    s: int,
+    k_out: int,
+    dim_a: int,
+    bx: int,
+    by: int,
+    interpret: bool = False,
+) -> jax.Array:
+    k_in, ch, X, Y, Zp = data.shape
+    assert ch == NUM_CH
+    assert X % bx == 0 and Y % by == 0 and by % 8 == 0 and bx >= s and s <= _YH
+    assert (2 * s + 1) * k_in > k_out, "pack assumes more candidates than slots"
+    if axis == 0:
+        wshape = (k_in, NUM_CH, bx + 2 * s, by, Zp)
+    elif axis == 1:
+        wshape = (k_in, NUM_CH, bx, by + 2 * _YH, Zp)
+    else:
+        wshape = (k_in, NUM_CH, bx, by, Zp)
+    kern = functools.partial(
+        _stage_kernel,
+        axis=axis, s=s, k_in=k_in, k_out=k_out,
+        bx=bx, by=by, X=X, Y=Y, Zp=Zp, dim_a=dim_a,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(X // bx, Y // by),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (k_out, NUM_CH, bx, by, Zp), lambda i, j: (0, 0, i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_out, NUM_CH, X, Y, Zp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(wshape, jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        # window + out fit the ~10MB block budget; Mosaic's pack temporaries
+        # (rolled slabs, flag planes) need headroom beyond the default 16MB
+        # scoped limit — v5e has 128MB physical VMEM.
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(data)
+
+
+def _pick_bx(axis: int, k_in: int, k_out: int, X: int, s: int, Zp: int, budget: int):
+    """Largest bx (divisor of X, >= s) whose window + out block fit in VMEM."""
+    for bx in (16, 8, 4, 2):
+        if bx < s or X % bx:
+            continue
+        wx = bx + 2 * s if axis == 0 else bx
+        wy = 8 + 2 * _YH if axis == 1 else 8
+        win = k_in * NUM_CH * wx * wy * Zp * 4
+        out = k_out * NUM_CH * bx * 8 * Zp * 4
+        if win + out <= budget:
+            return bx
+    return None
+
+
+def supports(grid_dim, capacity: int, max_shift: int) -> bool:
+    """Whether the kernel path can run this configuration."""
+    X, Y, Z = grid_dim
+    if Y % 8 or max_shift > _YH:
+        return False
+    zp = max(128, -(-Z // 128) * 128)
+    budget = 10 << 20
+    for axis in range(3):
+        k_in = capacity + 4 if axis else capacity
+        k_out = capacity + 4 if axis < 2 else capacity
+        if _pick_bx(axis, k_in, k_out, X, max_shift, zp, budget) is None:
+            return False
+    return True
+
+
+def rebin_slot_major(
+    sm: SlotMajorTable, max_shift: int, slack: int = 4, interpret: bool = False
+) -> SlotMajorTable:
+    """Drop-in slot-major equivalent of sim/table.py::rebin: axis-split pack
+    x -> y -> z with capacity K -> K+slack -> K+slack -> K. Per-cell particle
+    multisets match the XLA rebin exactly (slot order may differ when one
+    implementation's early-exit engages and the other's doesn't)."""
+    X, Y, Z = sm.grid_dim
+    data = sm.data
+    k = data.shape[0]
+    budget = 10 << 20
+    before = jnp.sum(data[:, CH_VALID] > 0.5)
+    for axis in range(3):
+        k_out = k + slack if axis < 2 else k
+        bx = _pick_bx(axis, data.shape[0], k_out, X, max_shift, data.shape[4], budget)
+        assert bx is not None, "caller must gate on supports()"
+        data = _rebin_stage(
+            data,
+            axis=axis, s=max_shift, k_out=k_out, dim_a=sm.grid_dim[axis],
+            bx=bx, by=8, interpret=interpret,
+        )
+    after = jnp.sum(data[:, CH_VALID] > 0.5)
+    lost = sm.lost + (before - after).astype(jnp.int32)
+    return SlotMajorTable(data=data, lost=lost, grid_dim=sm.grid_dim)

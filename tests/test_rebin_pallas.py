@@ -1,0 +1,101 @@
+"""Pallas rebin kernel vs the XLA rebin oracle (interpret mode on CPU).
+
+Equivalence is per-cell particle MULTISETS (bit-exact 16-channel rows) plus
+the lost counter: slot ORDER may legitimately differ because the kernel's
+early-exit is per block while the XLA oracle's is global."""
+
+import collections
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from blub_tpu.core.seeding import add_fluid_cube
+from blub_tpu.ops.pallas_rebin import rebin_slot_major, supports
+from blub_tpu.sim import table as T
+from blub_tpu.sim.slot_major import from_table, to_table
+
+G = (16, 16, 16)
+
+
+def _table(k=8, seed=0, fill=(9, 8, 15)):
+    pos = add_fluid_cube(G, (1, 1, 1), fill, 10**9)
+    tab = T.from_positions(pos, G, k)
+    rng = np.random.default_rng(seed)
+    return dataclasses.replace(
+        tab,
+        vel=jnp.asarray(rng.standard_normal(np.asarray(tab.vel).shape).astype(np.float32) * 10),
+        affine=jnp.asarray(rng.standard_normal(np.asarray(tab.affine).shape).astype(np.float32)),
+    )
+
+
+def _moved(tab, scale, seed):
+    rng = np.random.default_rng(seed)
+    move = (rng.random(np.asarray(tab.pos).shape) * 2 - 1).astype(np.float32) * scale
+    newpos = np.clip(
+        np.asarray(tab.pos) + move * np.asarray(tab.valid)[..., None],
+        1.001,
+        np.asarray(G, np.float32) - 1.001,
+    )
+    return dataclasses.replace(tab, pos=jnp.asarray(newpos))
+
+
+def _cell_multiset(tab):
+    """Counter of (cell, 16-channel row bytes) over valid slots."""
+    pos = np.asarray(tab.pos)
+    vel = np.asarray(tab.vel)
+    aff = np.asarray(tab.affine).reshape(pos.shape[:4] + (9,))
+    valid = np.asarray(tab.valid)
+    rows = np.concatenate([pos, vel, aff], axis=-1)
+    out = collections.Counter()
+    idx = np.argwhere(valid)
+    for x, y, z, k in idx:
+        out[(x, y, z, rows[x, y, z, k].tobytes())] += 1
+    return out
+
+
+def _assert_equivalent(tab, max_shift):
+    ref = T.rebin(tab, max_shift=max_shift)
+    got = to_table(rebin_slot_major(from_table(tab), max_shift, interpret=True))
+    assert int(got.lost) == int(ref.lost), (int(got.lost), int(ref.lost))
+    a, b = _cell_multiset(ref), _cell_multiset(got)
+    assert a == b, f"multiset mismatch: only-ref={len(a - b)} only-kernel={len(b - a)}"
+    # the kernel output must keep the invariant that invalid slots are all-zero
+    sm = rebin_slot_major(from_table(tab), max_shift, interpret=True)
+    d = np.asarray(sm.data)
+    invalid = d[:, 15:16] < 0.5  # [K,1,X,Y,Zp]
+    assert not np.any(np.abs(d) * invalid), "invalid slots carry nonzero payload"
+
+
+def test_rebin_kernel_matches_oracle_shift1():
+    assert supports(G, 8, 1)
+    _assert_equivalent(_moved(_table(), 0.9, 3), max_shift=1)
+
+
+def test_rebin_kernel_matches_oracle_shift2():
+    assert supports(G, 8, 2)
+    _assert_equivalent(_moved(_table(seed=1), 1.9, 4), max_shift=2)
+
+
+def test_rebin_kernel_no_movers_identity():
+    tab = _table(seed=2)
+    got = to_table(rebin_slot_major(from_table(tab), 2, interpret=True))
+    assert int(got.lost) == 0
+    assert _cell_multiset(got) == _cell_multiset(tab)
+
+
+def test_rebin_kernel_overflow_matches_lost():
+    """Cram many particles toward one corner so cells overflow: lost counts
+    must match the oracle exactly (same candidate order => same victims)."""
+    tab = _table(k=4, seed=5, fill=(9, 8, 15))
+    pos = np.asarray(tab.pos)
+    # pull everything toward (4.3, 4.3, 4.3), clamped to a 1.9-cell move
+    target = np.asarray([4.3, 4.3, 4.3], np.float32)
+    d = np.clip(target - pos, -1.9, 1.9)
+    newpos = np.clip(pos + d * np.asarray(tab.valid)[..., None], 1.001, 14.999)
+    tab = dataclasses.replace(tab, pos=jnp.asarray(newpos))
+    ref = T.rebin(tab, max_shift=2)
+    got = to_table(rebin_slot_major(from_table(tab), 2, interpret=True))
+    assert int(ref.lost) > 0  # the scenario really overflows
+    assert int(got.lost) == int(ref.lost)
+    assert _cell_multiset(ref) == _cell_multiset(got)
