@@ -165,6 +165,96 @@ def profile_step(params, state, solids=None, repeats: int = 3) -> Dict[str, floa
     return timer.mean_ms(), timer
 
 
+def profile_step_sm(params, state, solids=None, repeats: int = 3):
+    """Phase-by-phase timing of the slot-major (Pallas kernel) step path."""
+    from ..ops.pallas_p2g import p2g_density_pallas, p2g_velocity_density_pallas
+    from ..ops.pallas_rebin import rebin_slot_major
+    from ..sim.dense_transfer import density_rhs_from_raw
+    from ..sim.density import position_change_field
+    from ..sim.divergence import compute_divergence_rhs, remove_divergence
+    from ..sim.extrapolate import extrapolate_velocity
+    from ..sim.pressure import solve_pressure
+    from ..sim.sm_phases import (
+        advect_slot_major,
+        correct_slot_major,
+        marker_from_slot_major,
+    )
+
+    occupancy = solids.occupancy if solids is not None else None
+    solid_vel = solids.velocity if solids is not None else None
+    dt = params.dt
+
+    f_marker = jax.jit(lambda t: marker_from_slot_major(t, occupancy))
+    f_p2g = jax.jit(
+        lambda t, m: p2g_velocity_density_pallas(
+            t, m, params.gravity_grid, dt, with_density=False
+        )[0]
+    )
+    f_div = jax.jit(lambda v, m: compute_divergence_rhs(v, m, solid_vel))
+    f_solve = jax.jit(lambda p0, r, m: solve_pressure(p0, r, m, params.solver_vel, dt).pressure)
+    f_remove = jax.jit(lambda v, p, m: remove_divergence(v, p, m, solid_vel))
+    f_extrap = jax.jit(extrapolate_velocity)
+    f_advect = jax.jit(lambda t, v: advect_slot_major(t, v, occupancy, solid_vel, dt))
+    f_rebin2 = jax.jit(lambda t: rebin_slot_major(t, max_shift=2))
+    f_rho = jax.jit(p2g_density_pallas)
+    f_rho_rhs = jax.jit(lambda d, m: density_rhs_from_raw(d, m, dt))
+    f_change = jax.jit(lambda p, m: extrapolate_velocity(position_change_field(p, m, dt), m))
+    f_correct = jax.jit(correct_slot_major)
+    f_rebin1 = jax.jit(lambda t: rebin_slot_major(t, max_shift=1))
+
+    timer = PhaseTimer()
+    for r in range(repeats + 1):  # first pass compiles
+        table = state.table
+        with timer.phase("marker", sync=None):
+            marker = f_marker(table)
+            _sync(marker)
+        with timer.phase("p2g velocity [pallas]"):
+            vel = f_p2g(table, marker)
+            _sync(vel)
+        with timer.phase("divergence rhs"):
+            rhs = f_div(vel, marker)
+            _sync(rhs)
+        with timer.phase("pcg velocity"):
+            p = f_solve(state.pressure_vel, rhs, marker)
+            _sync(p)
+        with timer.phase("divergence remove"):
+            vel = f_remove(vel, p, marker)
+            _sync(vel)
+        with timer.phase("extrapolate"):
+            vel = f_extrap(vel, marker)
+            _sync(vel)
+        with timer.phase("advect (g2p+rk4)"):
+            table = f_advect(table, vel)
+            _sync(table)
+        with timer.phase("rebin +-2 [pallas]"):
+            table = f_rebin2(table)
+            _sync(table)
+        with timer.phase("marker 2"):
+            marker2 = f_marker(table)
+            _sync(marker2)
+        with timer.phase("density gather [pallas]"):
+            rho = f_rho(table)
+            _sync(rho)
+        with timer.phase("density rhs"):
+            drhs = f_rho_rhs(rho, marker2)
+            _sync(drhs)
+        with timer.phase("pcg density"):
+            pd = f_solve(state.pressure_den, drhs, marker2)
+            _sync(pd)
+        with timer.phase("position change"):
+            change = f_change(pd, marker2)
+            _sync(change)
+        with timer.phase("correct particles"):
+            table = f_correct(table, change, marker2)
+            _sync(table)
+        with timer.phase("rebin +-1 [pallas]"):
+            table = f_rebin1(table)
+            _sync(table)
+        if r == 0:
+            timer.samples.clear()  # drop compile pass
+    return timer.mean_ms(), timer
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Full XLA profiler trace (TensorBoard/Perfetto-compatible)."""

@@ -118,17 +118,26 @@ class Scene:
 
     # -- introspection ----------------------------------------------------
 
+    def _particle_table(self):
+        """The particle table as a ParticleTable view (the slot-major resident
+        layout converts on host readback only)."""
+        from ..sim.slot_major import SlotMajorTable, to_table
+
+        t = self.state.table
+        return to_table(t) if isinstance(t, SlotMajorTable) else t
+
     def num_particles(self) -> int:
         return int(jax.device_get(self.state.table.num_particles()))
 
     def particle_positions(self) -> np.ndarray:
         from ..sim.table import to_positions
 
-        return to_positions(self.state.table)
+        return to_positions(self._particle_table())
 
     def particle_velocities(self) -> np.ndarray:
-        valid = np.asarray(self.state.table.valid).reshape(-1)
-        vel = np.asarray(self.state.table.vel).reshape(-1, 3)
+        table = self._particle_table()
+        valid = np.asarray(table.valid).reshape(-1)
+        vel = np.asarray(table.vel).reshape(-1, 3)
         return vel[valid]
 
     def debug_fields(self) -> dict:
@@ -143,7 +152,7 @@ class Scene:
         solids = self.current_solids()
         occupancy = solids.occupancy if solids is not None else None
         solid_vel = solids.velocity if solids is not None else None
-        table = self.state.table
+        table = self._particle_table()
         marker = marker_from_table(table, occupancy)
         vel = p2g_velocity_dense(table, marker, self.params.gravity_grid, self.params.dt)
         div = compute_divergence_rhs(vel, marker, solid_vel)

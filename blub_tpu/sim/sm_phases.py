@@ -1,0 +1,299 @@
+"""Slot-major ports of the table-consuming XLA phases: marker, G2P advect,
+density position correction.
+
+Same math as dense_transfer.marker_from_table / dense_advect.advect_dense /
+correct_particles_dense (the oracles, layout [X,Y,Z,K,*]) but consuming the
+resident ``SlotMajorTable.data f32[K,16,X,Y,Zp]`` directly — no transposes.
+Grid inputs ([X,Y,Z]) are zero-padded to Zp on entry (cheap; tables are 16x
+bigger than grids). Equivalence is regression-tested per phase
+(tests/test_sm_phases.py).
+
+Layout conventions here: particle quantities are [K,X,Y,Zp] per channel or
+[K,X,Y,Zp,3] stacked; grid rolls broadcast as [None,X,Y,Zp]. The z padding
+rows carry valid=0 and every write is masked by valid, so they stay all-zero.
+"""
+
+from __future__ import annotations
+
+from itertools import product
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import CELL_AIR, CELL_FLUID, CELL_SOLID
+from .advect import StaggeredSamples, _clamp_step_to_cell, _rk4, _trilinear, g2p_apic
+from .dense_advect import MAX_ADVECT_MOVE, MAX_CORRECT_MOVE
+from .gridops import border_mask
+from .slot_major import CH_VALID, SlotMajorTable
+
+
+def _pad_grid(g: jax.Array, zp: int) -> jax.Array:
+    """[X,Y,Z] -> [X,Y,Zp] zero-padded."""
+    z = g.shape[2]
+    if z == zp:
+        return g
+    return jnp.pad(g, ((0, 0), (0, 0), (0, zp - z)))
+
+
+def _roll_g(a: jax.Array, off) -> jax.Array:
+    """read[g] = a[g + off] on a padded grid [X,Y,Zp]."""
+    return jnp.roll(a, tuple(-o for o in off), axis=(0, 1, 2))
+
+
+def _cellf(shape4) -> jax.Array:
+    """Cell index vector field [1,X,Y,Zp,3] (f32)."""
+    k, x, y, zp = shape4
+    return jnp.stack(
+        [jax.lax.broadcasted_iota(jnp.float32, (1, x, y, zp), 1 + a) for a in range(3)],
+        axis=-1,
+    )
+
+
+def _pos_t(data: jax.Array) -> jax.Array:
+    """pos channels -> [K,X,Y,Zp,3]."""
+    return jnp.moveaxis(data[:, 0:3], 1, -1)
+
+
+def marker_from_slot_major(sm: SlotMajorTable, solid_occupancy) -> jax.Array:
+    """Marker grid [X,Y,Z] i8 from the resident table — port of
+    dense_transfer.marker_from_table (same 3-bit primal-offset code rolls)."""
+    x, y, z = sm.grid_dim
+    data = sm.data
+    pos = data[:, 0:3]  # [K,3,X,Y,Zp]
+    valid = data[:, CH_VALID] > 0.5  # [K,X,Y,Zp]
+    prim = jnp.floor(pos) - jnp.floor(pos - 0.5)  # 0/1 f32
+    code = prim[:, 0] + 2.0 * prim[:, 1] + 4.0 * prim[:, 2]
+    fluid = jnp.zeros(data.shape[2:], jnp.bool_)
+    for off in product((-1, 0), (-1, 0), (-1, 0)):
+        need = float(-off[0] + 2 * -off[1] + 4 * -off[2])
+        hit = jnp.roll(
+            valid & (code == need), tuple(-o for o in off), axis=(1, 2, 3)
+        )
+        fluid = fluid | jnp.any(hit, axis=0)
+    fluid = fluid[:, :, :z]
+    marker = jnp.where(fluid, jnp.int8(CELL_FLUID), jnp.int8(CELL_AIR))
+    solid = border_mask((x, y, z))
+    if solid_occupancy is not None:
+        solid = solid | (solid_occupancy != 0.0)
+    return jnp.where(solid, jnp.int8(CELL_SOLID), marker)
+
+
+def _staggered_corners_sm(
+    vel_p: Tuple[jax.Array, jax.Array, jax.Array], pos: jax.Array
+) -> StaggeredSamples:
+    """StaggeredSamples with fields [K,X,Y,Zp,3] — port of
+    dense_advect.staggered_corners_dense (vel_p grids are Zp-padded)."""
+    cellf = _cellf(pos.shape[:1] + pos.shape[1:4])
+    xi = jnp.clip(pos - 0.5 - cellf, 0.0, 1.0 - 1e-6)
+    sel = xi >= 0.5
+
+    rolled = []
+    for c in range(3):
+        d = {}
+        for off in product(*[(-1, 0, 1) if a == c else (0, 1) for a in range(3)]):
+            d[off] = _roll_g(vel_p[c], off)[None]  # [1,X,Y,Zp]
+        rolled.append(d)
+
+    def corner_value(c, corner):
+        lo_off = list(corner)
+        lo_off[c] = corner[c] - 1
+        return jnp.where(sel[..., c], rolled[c][tuple(corner)], rolled[c][tuple(lo_off)])
+
+    names = {
+        "v000": (0, 0, 0), "v100": (1, 0, 0), "v010": (0, 1, 0), "v110": (1, 1, 0),
+        "v001": (0, 0, 1), "v101": (1, 0, 1), "v011": (0, 1, 1), "v111": (1, 1, 1),
+    }
+    fields = {
+        k: jnp.stack([corner_value(c, corner) for c in range(3)], axis=-1)
+        for k, corner in names.items()
+    }
+    interp = []
+    for c in range(3):
+        cols = []
+        for a in range(3):
+            if a == c:
+                cols.append(xi[..., c] + jnp.where(sel[..., c], -0.5, 0.5))
+            else:
+                cols.append(xi[..., a])
+        interp.append(jnp.stack(cols, axis=-1))
+    it = jnp.stack(interp, axis=-2)  # [K,X,Y,Zp,comp,axis]
+    return StaggeredSamples(ix=it[..., 0], iy=it[..., 1], iz=it[..., 2], **fields)
+
+
+def _point_select_sm(grid_p: jax.Array, d: jax.Array, window: int) -> jax.Array:
+    """value[slot] = grid[cell + d[slot]] for integer offsets |d| <= window."""
+    acc = jnp.zeros(d.shape[:-1], jnp.float32)
+    r = range(-window, window + 1)
+    for off in product(r, r, r):
+        hit = jnp.all(d == jnp.asarray(off, jnp.int32), axis=-1)
+        acc = acc + jnp.where(hit, _roll_g(grid_p, off)[None], 0.0)
+    return acc
+
+
+def _primal_select_sm(grid_p: jax.Array, sel: jax.Array) -> jax.Array:
+    """value[slot] = grid[floor(pos)] = grid[cell + (xi>=0.5)]."""
+    acc = 0.0
+    for off in product((0, 1), (0, 1), (0, 1)):
+        hit = (
+            (sel[..., 0] == bool(off[0]))
+            & (sel[..., 1] == bool(off[1]))
+            & (sel[..., 2] == bool(off[2]))
+        )
+        acc = acc + jnp.where(hit, _roll_g(grid_p, off)[None], 0.0)
+    return acc
+
+
+def _trilinear_center_sm(field_p: jax.Array, xi: jax.Array) -> jax.Array:
+    acc = 0.0
+    for off in product((0, 1), (0, 1), (0, 1)):
+        w = 1.0
+        for a in range(3):
+            w = w * (xi[..., a] if off[a] else (1.0 - xi[..., a]))
+        acc = acc + w * _roll_g(field_p, off)[None]
+    return acc
+
+
+def _e(axis: int, sign: int):
+    off = [0, 0, 0]
+    off[axis] = sign
+    return tuple(off)
+
+
+def _repack(
+    data: jax.Array, new_pos, new_vel, new_aff, validb
+) -> jax.Array:
+    """Rebuild the 16-channel array, masking writes by validity so invalid
+    slots (and z padding) stay exactly zero."""
+    vf = validb[..., None]
+    pos_c = jnp.moveaxis(jnp.where(vf, new_pos, 0.0), -1, 1)
+    vel_c = jnp.moveaxis(jnp.where(vf, new_vel, 0.0), -1, 1)
+    k, x, y, zp = data.shape[0], data.shape[2], data.shape[3], data.shape[4]
+    aff_c = jnp.moveaxis(
+        jnp.where(validb[..., None, None], new_aff, 0.0).reshape(k, x, y, zp, 9), -1, 1
+    )
+    return jnp.concatenate([pos_c, vel_c, aff_c, data[:, CH_VALID : CH_VALID + 1]], axis=1)
+
+
+def advect_slot_major(
+    sm: SlotMajorTable,
+    vel_grids,
+    solid_occupancy,
+    solid_velocity,
+    dt: float,
+) -> SlotMajorTable:
+    """G2P + RK4 advection on the resident table — port of
+    dense_advect.advect_dense (cites advect_particles.comp:1-193; see the
+    oracle for the documented deviations). Caller must rebin(max_shift=2)."""
+    x, yd, z = sm.grid_dim
+    data = sm.data
+    zp = data.shape[-1]
+    grid_max = jnp.asarray((x, yd, z), jnp.float32) - 1.001
+    vel_p = tuple(_pad_grid(v, zp) for v in vel_grids)
+
+    pos = _pos_t(data)  # [K,X,Y,Zp,3]
+    validb = data[:, CH_VALID] > 0.5
+    cellf = _cellf(data.shape[:1] + data.shape[2:])
+    xi = pos - 0.5 - cellf
+    sel = xi >= 0.5
+
+    if solid_occupancy is not None:
+        occ_p = _pad_grid(solid_occupancy, zp)
+        sv_p = tuple(_pad_grid(solid_velocity[..., a], zp) for a in range(3))
+        occ_here = _primal_select_sm(occ_p, sel)
+        sv_here = jnp.stack([_primal_select_sm(g, sel) for g in sv_p], axis=-1)
+        abs_sv = jnp.abs(sv_here)
+        use_x = (abs_sv[..., 0] > abs_sv[..., 1]) & (abs_sv[..., 0] > abs_sv[..., 2])
+        use_y = jnp.logical_not(use_x) & (abs_sv[..., 1] > abs_sv[..., 2])
+        use_z = jnp.logical_not(use_x) & jnp.logical_not(use_y)
+        escape = jnp.stack(
+            [
+                jnp.where(use_x, jnp.sign(sv_here[..., 0]), 0.0),
+                jnp.where(use_y, jnp.sign(sv_here[..., 1]), 0.0),
+                jnp.where(use_z, jnp.sign(sv_here[..., 2]), 0.0),
+            ],
+            axis=-1,
+        )
+        pos = jnp.where((occ_here > 0.0)[..., None], pos + escape, pos)
+        xi = pos - 0.5 - cellf
+        sel = xi >= 0.5
+
+    samples = _staggered_corners_sm(vel_p, pos)
+    velocity, affine = g2p_apic(samples)
+    movement = _rk4(samples, velocity, dt)
+    movement = jnp.clip(movement, -MAX_ADVECT_MOVE, MAX_ADVECT_MOVE)
+    new_pos = jnp.clip(pos + movement, cellf - 1.499, cellf + 2.499)
+    movement = new_pos - pos
+
+    out_of_bounds = jnp.any((new_pos < 1.001) | (new_pos > grid_max), axis=-1)
+    if solid_occupancy is not None:
+        d = jnp.floor(new_pos).astype(jnp.int32) - cellf.astype(jnp.int32)
+        d = jnp.clip(d, -2, 2)
+        occ_target = _point_select_sm(occ_p, d, 2)
+        penetrates = out_of_bounds | (occ_target > 0.0)
+    else:
+        penetrates = out_of_bounds
+
+    direction, max_step, _ = _clamp_step_to_cell(pos, movement)
+    clamped_movement = direction * max_step[..., None]
+
+    if solid_occupancy is not None:
+        stuck = jnp.all(
+            jnp.floor(pos).astype(jnp.int32) == jnp.floor(new_pos).astype(jnp.int32),
+            axis=-1,
+        )
+        grad = [
+            0.5 * (_roll_g(occ_p, _e(a, -1)) - _roll_g(occ_p, _e(a, 1))) for a in range(3)
+        ]
+        push = jnp.stack(
+            [_trilinear_center_sm(g, xi) for g in grad], axis=-1
+        ) * (dt * 50.0)
+        clamped_movement = clamped_movement + jnp.where(
+            (stuck & penetrates)[..., None], push, 0.0
+        )
+
+    corrected_pos = jnp.clip(pos + clamped_movement, 1.001, grid_max)
+    corrected_vel = direction * (max_step / dt)[..., None]
+
+    new_pos = jnp.where(penetrates[..., None], corrected_pos, new_pos)
+    velocity = jnp.where(penetrates[..., None], corrected_vel, velocity)
+
+    new_data = _repack(data, new_pos, velocity, affine, validb)
+    return SlotMajorTable(data=new_data, lost=sm.lost, grid_dim=sm.grid_dim)
+
+
+def correct_slot_major(
+    sm: SlotMajorTable, change, marker: jax.Array
+) -> SlotMajorTable:
+    """Density-projection position correction — port of
+    dense_advect.correct_particles_dense. Caller must rebin(max_shift=1)."""
+    x, yd, z = sm.grid_dim
+    data = sm.data
+    zp = data.shape[-1]
+    grid_max = jnp.asarray((x, yd, z), jnp.float32) - 1.001
+    change_p = tuple(_pad_grid(c, zp) for c in change)
+
+    pos = _pos_t(data)
+    validb = data[:, CH_VALID] > 0.5
+    cellf = _cellf(data.shape[:1] + data.shape[2:])
+
+    samples = _staggered_corners_sm(change_p, pos)
+    movement = _trilinear(samples, samples.ix, samples.iy, samples.iz)
+    movement = jnp.clip(movement, -MAX_CORRECT_MOVE, MAX_CORRECT_MOVE)
+    new_pos = jnp.clip(pos + movement, cellf - 0.499, cellf + 1.999)
+    movement = new_pos - pos
+
+    out_of_bounds = jnp.any((new_pos < 1.001) | (new_pos > grid_max), axis=-1)
+    d = jnp.floor(new_pos).astype(jnp.int32) - cellf.astype(jnp.int32)
+    d = jnp.clip(d, -1, 1)
+    marker_p = _pad_grid(marker.astype(jnp.float32), zp)
+    target_marker = _point_select_sm(marker_p, d, 1)
+    penetrates = out_of_bounds | (target_marker == CELL_SOLID)
+
+    direction, max_step, _ = _clamp_step_to_cell(pos, movement)
+    corrected = jnp.clip(pos + direction * max_step[..., None], 1.001, grid_max)
+    new_pos = jnp.where(penetrates[..., None], corrected, new_pos)
+
+    pos_c = jnp.moveaxis(jnp.where(validb[..., None], new_pos, 0.0), -1, 1)
+    new_data = jnp.concatenate([pos_c, data[:, 3:]], axis=1)
+    return SlotMajorTable(data=new_data, lost=sm.lost, grid_dim=sm.grid_dim)

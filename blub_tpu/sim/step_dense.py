@@ -33,6 +33,7 @@ from .dense_transfer import (
 from .divergence import compute_divergence_rhs, remove_divergence
 from .extrapolate import extrapolate_velocity
 from .pressure import solve_pressure
+from .slot_major import SlotMajorTable, from_table
 from .table import ParticleTable, from_positions, rebin
 
 
@@ -54,8 +55,39 @@ class DenseFluidState:
     max_speed: jax.Array  # f32 scalar: max |v| (grid/s) — drives CFL substepping
 
 
-def make_dense_state(params: SimParams, pos_np, capacity: int = 16) -> DenseFluidState:
+def slot_major_supported(grid_dim, capacity: int) -> bool:
+    """Whether the full Pallas kernel set handles this configuration."""
+    from ..ops import pallas_p2g, pallas_rebin
+
+    return (
+        pallas_p2g.supports(grid_dim, capacity)
+        and pallas_rebin.supports(grid_dim, capacity, 2)
+        and pallas_rebin.supports(grid_dim, capacity, 1)
+    )
+
+
+def make_dense_state(
+    params: SimParams, pos_np, capacity: int = 16, layout: Optional[str] = None
+) -> DenseFluidState:
+    """layout: "sm" (slot-major, Pallas kernel path), "pt" (ParticleTable, XLA
+    path — the oracle, and the only sharding-capable path this round), or None
+    to pick automatically (sm on TPU when the kernels support the config)."""
     table = from_positions(pos_np, params.grid_dim, capacity)
+    if layout is None:
+        layout = "sm" if _use_pallas(params) and slot_major_supported(
+            params.grid_dim, capacity
+        ) else "pt"
+        if layout == "pt" and _use_pallas(params):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Pallas kernel path unsupported for grid=%s capacity=%d "
+                "(needs Y%%8==0 and VMEM-fitting blocks); falling back to the "
+                "XLA table path (slower).",
+                params.grid_dim, capacity,
+            )
+    if layout == "sm":
+        table = from_table(table)
     return DenseFluidState(
         table=table,
         # separate buffers: donation must not see the same buffer twice
@@ -84,6 +116,8 @@ def _use_pallas(params: SimParams) -> bool:
 def step_dense(
     params: SimParams, state: DenseFluidState, solids: Optional[SolidState] = None
 ) -> DenseFluidState:
+    if isinstance(state.table, SlotMajorTable):
+        return _step_slot_major(params, state, solids)
     table = state.table
     occupancy = solids.occupancy if solids is not None else None
     solid_vel = solids.velocity if solids is not None else None
@@ -140,6 +174,70 @@ def step_dense(
         stats_vel=res_vel.stats,
         stats_den=res_den.stats,
         max_speed=speed.astype(jnp.float32),
+    )
+
+
+def _interpret_kernels() -> bool:
+    """Pallas kernels run in interpret mode off-TPU (CPU tests)."""
+    try:
+        return jax.devices()[0].platform in ("cpu", "gpu")
+    except Exception:
+        return True
+
+
+def _step_slot_major(
+    params: SimParams, state: DenseFluidState, solids: Optional[SolidState] = None
+) -> DenseFluidState:
+    """The Pallas production path: same pass sequence as the table path, but
+    the particle table stays resident in slot-major layout and every
+    table-heavy phase is a kernel (P2G, both rebins) or a slot-major XLA port
+    (marker, advect, correct) — zero layout conversions per step."""
+    from ..ops.pallas_p2g import p2g_density_pallas, p2g_velocity_density_pallas
+    from ..ops.pallas_rebin import rebin_slot_major
+    from .density import position_change_field
+    from .sm_phases import advect_slot_major, correct_slot_major, marker_from_slot_major
+
+    interp = _interpret_kernels()
+    table: SlotMajorTable = state.table
+    occupancy = solids.occupancy if solids is not None else None
+    solid_vel = solids.velocity if solids is not None else None
+
+    # --- transfer & divergence ------------------------------------------------
+    marker = marker_from_slot_major(table, occupancy)
+    vel, _ = p2g_velocity_density_pallas(
+        table, marker, params.gravity_grid, params.dt, interpret=interp,
+        with_density=False,
+    )
+    rhs = compute_divergence_rhs(vel, marker, solid_vel)
+
+    # --- pressure projection (velocity) --------------------------------------
+    res_vel = solve_pressure(state.pressure_vel, rhs, marker, params.solver_vel, params.dt)
+    vel = remove_divergence(vel, res_vel.pressure, marker, solid_vel)
+    vel = extrapolate_velocity(vel, marker)
+
+    # --- advection + rebin ----------------------------------------------------
+    table = advect_slot_major(table, vel, occupancy, solid_vel, params.dt)
+    table = rebin_slot_major(table, max_shift=2, interpret=interp)
+
+    # --- implicit density projection ------------------------------------------
+    marker2 = marker_from_slot_major(table, occupancy)
+    raw_density = p2g_density_pallas(table, interpret=interp)
+    den_rhs = density_rhs_from_raw(raw_density, marker2, params.dt)
+    res_den = solve_pressure(state.pressure_den, den_rhs, marker2, params.solver_den, params.dt)
+
+    change = position_change_field(res_den.pressure, marker2, params.dt)
+    change = extrapolate_velocity(change, marker2)
+    table = correct_slot_major(table, change, marker2)
+    table = rebin_slot_major(table, max_shift=1, interpret=interp)
+
+    return DenseFluidState(
+        table=table,
+        pressure_vel=res_vel.pressure,
+        pressure_den=res_den.pressure,
+        step_index=state.step_index + 1,
+        stats_vel=res_vel.stats,
+        stats_den=res_den.stats,
+        max_speed=table.max_speed(),
     )
 
 
