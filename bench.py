@@ -8,14 +8,21 @@ vs_baseline compares against the reference's implied bar: its 120 steps/s
 realtime design point (src/simulation_controller.rs:39) at dam_halfhalf scale
 on a GTX 1070 Ti — the reference publishes no measured numbers (BASELINE.md).
 
+This measures the HONEST path (VERDICT.md weak #3/#4): scan-batched frames
+with on-device CFL substepping, the same mass-conserving configuration the
+Scene runtime uses. A "step" is one dt=1/120 frame of simulated time
+(apples-to-apples with the reference bar); CFL substeps are internal cost and
+reported separately.
+
 Env knobs: BLUB_BENCH_GRID=x,y,z  BLUB_BENCH_STEPS=N  BLUB_BENCH_CAPACITY=K
+           BLUB_BENCH_BATCH=B (frames per dispatch)  BLUB_BENCH_RAW=1
+           (legacy raw fixed-dt single-step loop, no substepping)
 """
 
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -26,13 +33,19 @@ def main() -> None:
 
     from blub_tpu.core.seeding import add_fluid_cube
     from blub_tpu.core.types import SimParams
-    from blub_tpu.sim.step_dense import make_dense_state, make_jitted_dense_step
+    from blub_tpu.sim.step_dense import (
+        make_dense_state,
+        make_jitted_dense_step,
+        multi_frame_dense,
+    )
 
     # Default: dam_halfhalf scale (the reference's standard scene:
     # 128x64x64 grid, ~1M particles; scenes/dam_halfhalf.json).
     grid = tuple(int(v) for v in os.environ.get("BLUB_BENCH_GRID", "128,64,64").split(","))
-    n_steps = int(os.environ.get("BLUB_BENCH_STEPS", "30"))
+    n_steps = int(os.environ.get("BLUB_BENCH_STEPS", "32"))
     capacity = int(os.environ.get("BLUB_BENCH_CAPACITY", "16"))
+    batch = int(os.environ.get("BLUB_BENCH_BATCH", "16"))
+    raw = bool(os.environ.get("BLUB_BENCH_RAW"))
 
     # Dam filling the lower-left half: ~1/4 of cells -> grid(128^3) ~ 4M particles.
     x, y, z = grid
@@ -41,34 +54,59 @@ def main() -> None:
         grid_dim=grid, dt=1.0 / 120.0, gravity_grid=(0.0, -981.0, 0.0), num_particles=pos.shape[0]
     )
     state = make_dense_state(params, pos, capacity=capacity)
-    step = make_jitted_dense_step(params, donate=True)
 
-    # Warmup (compile + a few steps so the flow is in a typical regime).
-    t0 = time.time()
-    state = step(state)
-    _sync(state)
-    compile_s = time.time() - t0
-    for _ in range(4):
+    if raw:
+        step = make_jitted_dense_step(params, donate=True)
+        t0 = time.time()
         state = step(state)
-    _sync(state)
+        _sync(state)
+        compile_s = time.time() - t0
+        for _ in range(4):
+            state = step(state)
+        _sync(state)
+        t0 = time.time()
+        for _ in range(n_steps):
+            state = step(state)
+        _sync(state)
+        wall = time.time() - t0
+        frames = n_steps
+        substeps = n_steps
+    else:
+        frames_fn = jax.jit(
+            lambda s: multi_frame_dense(params, s, batch, cfl_target=1.5, max_substeps=4),
+            donate_argnums=(0,),
+        )
+        n_batches = max(1, n_steps // batch)
+        t0 = time.time()
+        state, nsub = frames_fn(state)
+        _sync(state)
+        compile_s = time.time() - t0
+        state, nsub = frames_fn(state)  # settle into a typical regime
+        _sync(state)
+        nsubs = []
+        t0 = time.time()
+        for _ in range(n_batches):
+            state, nsub = frames_fn(state)
+            nsubs.append(nsub)
+        _sync(state)
+        wall = time.time() - t0
+        frames = n_batches * batch
+        substeps = int(np.sum([np.asarray(jax.device_get(n)) for n in nsubs]))
 
-    t0 = time.time()
-    for _ in range(n_steps):
-        state = step(state)
-    _sync(state)
-    wall = time.time() - t0
-    steps_per_s = n_steps / wall
-
+    steps_per_s = frames / wall
+    n0 = pos.shape[0]
     lost = int(np.asarray(jax.device_get(state.table.lost)))
     result = {
-        "metric": f"sim steps/sec, dense APIC step, {x}x{y}x{z} grid, {pos.shape[0]} particles, 1 chip",
+        "metric": f"sim steps/sec (dt=1/120 frames, CFL-substepped), {x}x{y}x{z} grid, {n0} particles, 1 chip",
         "value": round(steps_per_s, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / 120.0, 3),
-        "ms_per_step": round(1000.0 * wall / n_steps, 2),
+        "ms_per_step": round(1000.0 * wall / frames, 2),
         "compile_s": round(compile_s, 1),
-        "particles": int(pos.shape[0]),
+        "particles": n0,
+        "substeps_per_frame": round(substeps / frames, 2),
         "lost_particles": lost,
+        "lost_pct": round(100.0 * lost / n0, 3),
     }
     print(json.dumps(result))
 

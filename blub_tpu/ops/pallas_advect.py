@@ -1,0 +1,544 @@
+"""Pallas G2P kernels: APIC advection and density position-correction on the
+resident slot-major table.
+
+TPU analog of the reference's advection kernel
+(shader/simulation/advect_particles.comp:1-193) and the position-correction
+half of its density projection (correct_particles.comp). The math is the
+slot-major oracle's (sim/sm_phases.py::advect_slot_major / correct_slot_major,
+which in turn mirror sim/advect.py — see there for the documented deviations
+from the reference); this module only changes WHERE it runs: the oracle
+materializes ~40 `[K,X,Y,Zp]` intermediates in HBM (64 MiB each at dam scale),
+the kernel keeps them in VMEM per block, so HBM traffic drops to one table
+read + one table write + small grid windows.
+
+Window semantics: the oracle reads grids with `jnp.roll` (cyclic). Each block
+DMAs a haloed grid window in 9 statically-placed parts whose source offsets
+are taken MODULO the grid dim — exact cyclic semantics, no padding. The y
+parts are 8-wide (sublane alignment; Y % 8 == 0 keeps modular starts aligned),
+x parts are `hx`-wide (outer dim, unconstrained).
+
+Per-particle 3-vectors are component-unrolled Python tuples of f32
+[K, bx, by, Zp] arrays (a trailing length-3 dim would waste the 128-lane VPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from itertools import product
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import CELL_SOLID
+from ..sim.dense_advect import MAX_ADVECT_MOVE, MAX_CORRECT_MOVE
+from ..sim.slot_major import NUM_CH, SlotMajorTable
+
+_YH = 8  # y halo part size (sublane slices must be 8-aligned in start+size)
+
+_CORNERS = {
+    "v000": (0, 0, 0), "v100": (1, 0, 0), "v010": (0, 1, 0), "v110": (1, 1, 0),
+    "v001": (0, 0, 1), "v101": (1, 0, 1), "v011": (0, 1, 1), "v111": (1, 1, 1),
+}
+
+
+def _mix(a, b, t):
+    return a + (b - a) * t
+
+
+def _window_copies(g_hbm, win, sems, sem0, i, j, *, bx, by, X, Y, hx):
+    """9-part cyclic window DMA for one grid [X, Y, Zp] into a
+    [bx + 2*hx, by + 2*_YH, Zp] VMEM window (core at [hx, _YH]). Modular part
+    placement reproduces `jnp.roll` halo semantics exactly."""
+    xparts = (
+        ((i * bx - hx) % X, 0, hx),
+        (i * bx, hx, bx),
+        ((i * bx + bx) % X, hx + bx, hx),
+    )
+    yparts = (
+        ((j * by - _YH) % Y, 0, _YH),
+        (j * by, _YH, by),
+        ((j * by + by) % Y, _YH + by, _YH),
+    )
+    copies = []
+    for n, (xs, xd, xn) in enumerate(xparts):
+        for m, (ys, yd, yn) in enumerate(yparts):
+            copies.append(
+                pltpu.make_async_copy(
+                    g_hbm.at[pl.ds(xs, xn), pl.ds(ys, yn), :],
+                    win.at[pl.ds(xd, xn), pl.ds(yd, yn), :],
+                    sems.at[sem0 + n * 3 + m],
+                )
+            )
+    return copies
+
+
+def _slab(win, off, hx, bx, by):
+    """Grid window read at integer offset: value[g] = grid[g + off], shaped
+    [1, bx, by, Zp] for K-broadcast. The z component is a cyclic lane roll
+    (same as the oracle's jnp.roll on the z-padded grid)."""
+    ox, oy, oz = off
+    s = win[hx + ox : hx + ox + bx, _YH + oy : _YH + oy + by, :]
+    if oz:
+        s = jnp.roll(s, -oz, axis=2)
+    return s[None]
+
+
+def _staggered_corners(wins_v, sel, xi, bx, by):
+    """Port of sm_phases._staggered_corners_sm, component-unrolled.
+    Returns (corners, interps): corners[c] maps corner name -> f32[K,bx,by,Zp];
+    interps[c] = (ix, iy, iz) for staggered grid c. `xi` must be the clipped
+    in-cell coordinate; `sel` its >= 0.5 mask."""
+    rolled = []
+    for c in range(3):
+        d = {}
+        for off in product(*[(-1, 0, 1) if a == c else (0, 1) for a in range(3)]):
+            d[off] = _slab(wins_v[c], off, 1, bx, by)
+        rolled.append(d)
+
+    corners, interps = [], []
+    for c in range(3):
+        cc = {}
+        for name, corner in _CORNERS.items():
+            lo = list(corner)
+            lo[c] -= 1
+            cc[name] = jnp.where(sel[c], rolled[c][corner], rolled[c][tuple(lo)])
+        corners.append(cc)
+        it = tuple(
+            xi[c] + jnp.where(sel[c], -0.5, 0.5) if a == c else xi[a] for a in range(3)
+        )
+        interps.append(it)
+    return corners, interps
+
+
+def _tri(cc, ix, iy, iz):
+    return _mix(
+        _mix(_mix(cc["v000"], cc["v100"], ix), _mix(cc["v010"], cc["v110"], ix), iy),
+        _mix(_mix(cc["v001"], cc["v101"], ix), _mix(cc["v011"], cc["v111"], ix), iy),
+        iz,
+    )
+
+
+def _g2p_apic(corners, interps):
+    """Port of advect.g2p_apic: per-component velocity + affine rows."""
+    vel, aff = [], []
+    for c in range(3):
+        s, (ix, iy, iz) = corners[c], interps[c]
+        v_x00 = _mix(s["v000"], s["v100"], ix)
+        v_x01 = _mix(s["v001"], s["v101"], ix)
+        v_x10 = _mix(s["v010"], s["v110"], ix)
+        v_x11 = _mix(s["v011"], s["v111"], ix)
+        v_xy0 = _mix(v_x00, v_x10, iy)
+        v_xy1 = _mix(v_x01, v_x11, iy)
+        vel.append(_mix(v_xy0, v_xy1, iz))
+        cx = _mix(_mix(s["v100"], s["v110"], iy), _mix(s["v101"], s["v111"], iy), iz) - _mix(
+            _mix(s["v000"], s["v010"], iy), _mix(s["v001"], s["v011"], iy), iz
+        )
+        cy = _mix(v_x10, v_x11, iz) - _mix(v_x00, v_x01, iz)
+        cz = v_xy1 - v_xy0
+        aff.append((cx, cy, cz))
+    return vel, aff
+
+
+def _rk4(corners, interps, velocity, dt):
+    """Port of advect._rk4 (cell-confined probes)."""
+
+    def probe(sx, sy, sz):
+        out = []
+        for c in range(3):
+            ix, iy, iz = interps[c]
+            out.append(
+                _tri(
+                    corners[c],
+                    jnp.clip(ix + sx, 0.0, 1.0),
+                    jnp.clip(iy + sy, 0.0, 1.0),
+                    jnp.clip(iz + sz, 0.0, 1.0),
+                )
+            )
+        return out
+
+    k1 = velocity
+    k2 = probe(*(dt * 0.5 * k for k in k1))
+    k3 = probe(*(dt * 0.5 * k for k in k2))
+    k4 = probe(*(dt * k for k in k3))
+    return [dt * (1.0 / 6.0) * (k1[a] + 2.0 * (k2[a] + k3[a]) + k4[a]) for a in range(3)]
+
+
+def _clamp_step(pos, movement):
+    """Port of advect._clamp_step_to_cell, component-unrolled."""
+    step_len = (
+        jnp.sqrt(movement[0] ** 2 + movement[1] ** 2 + movement[2] ** 2) + 1e-10
+    )
+    direction = [m / step_len for m in movement]
+    max_step = step_len
+    big = jnp.float32(jnp.inf)
+    for a in range(3):
+        d = direction[a]
+        ad = jnp.abs(d)
+        pic = pos[a] - jnp.floor(pos[a])
+        dist = jnp.where(d > 0.0, 1.0 - pic, pic)
+        per_axis = jnp.where(ad > 0.0, dist / jnp.where(ad > 0.0, ad, 1.0) - 0.001, big)
+        max_step = jnp.minimum(max_step, per_axis)
+    return direction, max_step
+
+
+def _point_select(win, d, window, hx, bx, by):
+    """Port of sm_phases._point_select_sm: value[slot] = grid[cell + d]."""
+    acc = jnp.zeros(d[0].shape, jnp.float32)
+    r = range(-window, window + 1)
+    for off in product(r, r, r):
+        hit = (d[0] == off[0]) & (d[1] == off[1]) & (d[2] == off[2])
+        acc = acc + jnp.where(hit, _slab(win, off, hx, bx, by), 0.0)
+    return acc
+
+
+def _primal_select(win, sel, hx, bx, by):
+    """Port of sm_phases._primal_select_sm: value[slot] = grid[floor(pos)]."""
+    acc = 0.0
+    for off in product((0, 1), (0, 1), (0, 1)):
+        hit = (
+            (sel[0] == bool(off[0]))
+            & (sel[1] == bool(off[1]))
+            & (sel[2] == bool(off[2]))
+        )
+        acc = acc + jnp.where(hit, _slab(win, off, hx, bx, by), 0.0)
+    return acc
+
+
+def _push_force(win_occ, xi, hx, bx, by, dt):
+    """Occupancy-gradient push (advect_particles.comp:152-170): trilinear
+    sample of the central-difference gradient, composed so grad_a at trilinear
+    offset `off` reads occ[g + off -/+ e_a] straight from the window."""
+    out = []
+    for a in range(3):
+        acc = 0.0
+        for off in product((0, 1), (0, 1), (0, 1)):
+            w = 1.0
+            for b in range(3):
+                w = w * (xi[b] if off[b] else (1.0 - xi[b]))
+            lo = list(off)
+            lo[a] -= 1
+            hi = list(off)
+            hi[a] += 1
+            g = 0.5 * (
+                _slab(win_occ, tuple(lo), hx, bx, by)
+                - _slab(win_occ, tuple(hi), hx, bx, by)
+            )
+            acc = acc + w * g
+        out.append(acc * (dt * 50.0))
+    return out
+
+
+def _block_coords(i, j, bx, by, zp):
+    shape = (bx, by, zp)
+    gx = (i * bx + jax.lax.broadcasted_iota(jnp.int32, shape, 0))[None]
+    gy = (j * by + jax.lax.broadcasted_iota(jnp.int32, shape, 1))[None]
+    gz = jax.lax.broadcasted_iota(jnp.int32, shape, 2)[None]
+    return (gx, gy, gz)
+
+
+def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids):
+    if with_solids:
+        (dt_ref, data_ref, v0, v1, v2, occ, s0, s1, s2, out_ref,
+         wv0, wv1, wv2, wocc, ws0, ws1, ws2, sems) = refs
+        grids = ((v0, wv0, 1), (v1, wv1, 1), (v2, wv2, 1), (occ, wocc, 2),
+                 (s0, ws0, 1), (s1, ws1, 1), (s2, ws2, 1))
+    else:
+        dt_ref, data_ref, v0, v1, v2, out_ref, wv0, wv1, wv2, sems = refs
+        grids = ((v0, wv0, 1), (v1, wv1, 1), (v2, wv2, 1))
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dt = dt_ref[0]
+    zp = data_ref.shape[-1]
+
+    copies = []
+    for n, (g, w, hx) in enumerate(grids):
+        copies += _window_copies(g, w, sems, 9 * n, i, j, bx=bx, by=by, X=X, Y=Y, hx=hx)
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    gi = _block_coords(i, j, bx, by, zp)
+    gf = [g.astype(jnp.float32) for g in gi]
+    gmax = [float(grid_dim[a]) - 1.001 for a in range(3)]
+    wins_v = (wv0, wv1, wv2)
+
+    pos = [data_ref[:, a] for a in range(3)]
+    valid = data_ref[:, NUM_CH - 1]
+    validb = valid > 0.5
+
+    xi = [pos[a] - 0.5 - gf[a] for a in range(3)]
+    sel = [x >= 0.5 for x in xi]
+
+    if with_solids:
+        # escape from moving solids (advect_particles.comp:46-66)
+        occ_here = _primal_select(wocc, sel, 2, bx, by)
+        sv_here = [_primal_select(w, sel, 1, bx, by) for w in (ws0, ws1, ws2)]
+        abs_sv = [jnp.abs(v) for v in sv_here]
+        use_x = (abs_sv[0] > abs_sv[1]) & (abs_sv[0] > abs_sv[2])
+        use_y = jnp.logical_not(use_x) & (abs_sv[1] > abs_sv[2])
+        use_z = jnp.logical_not(use_x) & jnp.logical_not(use_y)
+        uses = (use_x, use_y, use_z)
+        swallowed = occ_here > 0.0
+        pos = [
+            jnp.where(
+                swallowed, pos[a] + jnp.where(uses[a], jnp.sign(sv_here[a]), 0.0), pos[a]
+            )
+            for a in range(3)
+        ]
+        xi = [pos[a] - 0.5 - gf[a] for a in range(3)]
+        sel = [x >= 0.5 for x in xi]
+
+    # clipping xi preserves the >= 0.5 select, so `sel` is shared
+    xi_c = [jnp.clip(x, 0.0, 1.0 - 1e-6) for x in xi]
+    corners, interps = _staggered_corners(wins_v, sel, xi_c, bx, by)
+    velocity, affine = _g2p_apic(corners, interps)
+    movement = _rk4(corners, interps, velocity, dt)
+    movement = [jnp.clip(m, -MAX_ADVECT_MOVE, MAX_ADVECT_MOVE) for m in movement]
+    new_pos = [
+        jnp.clip(pos[a] + movement[a], gf[a] - 1.499, gf[a] + 2.499) for a in range(3)
+    ]
+    movement = [new_pos[a] - pos[a] for a in range(3)]
+
+    oob = jnp.zeros(pos[0].shape, jnp.bool_)
+    for a in range(3):
+        oob = oob | (new_pos[a] < 1.001) | (new_pos[a] > gmax[a])
+    if with_solids:
+        d = [
+            jnp.clip(jnp.floor(new_pos[a]).astype(jnp.int32) - gi[a], -2, 2)
+            for a in range(3)
+        ]
+        penetrates = oob | (_point_select(wocc, d, 2, 2, bx, by) > 0.0)
+    else:
+        penetrates = oob
+
+    direction, max_step = _clamp_step(pos, movement)
+    clamped = [direction[a] * max_step for a in range(3)]
+
+    if with_solids:
+        stuck = jnp.ones(pos[0].shape, jnp.bool_)
+        for a in range(3):
+            stuck = stuck & (
+                jnp.floor(pos[a]).astype(jnp.int32)
+                == jnp.floor(new_pos[a]).astype(jnp.int32)
+            )
+        push = _push_force(wocc, xi, 2, bx, by, dt)
+        clamped = [
+            clamped[a] + jnp.where(stuck & penetrates, push[a], 0.0) for a in range(3)
+        ]
+
+    inv_dt = max_step / dt
+    for a in range(3):
+        corrected_pos = jnp.clip(pos[a] + clamped[a], 1.001, gmax[a])
+        new_pos[a] = jnp.where(penetrates, corrected_pos, new_pos[a])
+        velocity[a] = jnp.where(penetrates, direction[a] * inv_dt, velocity[a])
+
+    for a in range(3):
+        out_ref[:, a] = jnp.where(validb, new_pos[a], 0.0)
+        out_ref[:, 3 + a] = jnp.where(validb, velocity[a], 0.0)
+    for c in range(3):
+        for a in range(3):
+            out_ref[:, 6 + 3 * c + a] = jnp.where(validb, affine[c][a], 0.0)
+    out_ref[:, NUM_CH - 1] = valid
+
+
+def _correct_kernel(*refs, bx, by, X, Y, grid_dim):
+    data_ref, c0, c1, c2, mk, out_ref, wc0, wc1, wc2, wmk, sems = refs
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    zp = data_ref.shape[-1]
+
+    copies = []
+    for n, (g, w) in enumerate(((c0, wc0), (c1, wc1), (c2, wc2), (mk, wmk))):
+        copies += _window_copies(g, w, sems, 9 * n, i, j, bx=bx, by=by, X=X, Y=Y, hx=1)
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    gi = _block_coords(i, j, bx, by, zp)
+    gf = [g.astype(jnp.float32) for g in gi]
+    gmax = [float(grid_dim[a]) - 1.001 for a in range(3)]
+
+    pos = [data_ref[:, a] for a in range(3)]
+    validb = data_ref[:, NUM_CH - 1] > 0.5
+
+    xi = [jnp.clip(pos[a] - 0.5 - gf[a], 0.0, 1.0 - 1e-6) for a in range(3)]
+    sel = [x >= 0.5 for x in xi]
+    corners, interps = _staggered_corners((wc0, wc1, wc2), sel, xi, bx, by)
+    movement = [_tri(corners[c], *interps[c]) for c in range(3)]
+    movement = [jnp.clip(m, -MAX_CORRECT_MOVE, MAX_CORRECT_MOVE) for m in movement]
+    new_pos = [
+        jnp.clip(pos[a] + movement[a], gf[a] - 0.499, gf[a] + 1.999) for a in range(3)
+    ]
+    movement = [new_pos[a] - pos[a] for a in range(3)]
+
+    oob = jnp.zeros(pos[0].shape, jnp.bool_)
+    for a in range(3):
+        oob = oob | (new_pos[a] < 1.001) | (new_pos[a] > gmax[a])
+    d = [
+        jnp.clip(jnp.floor(new_pos[a]).astype(jnp.int32) - gi[a], -1, 1)
+        for a in range(3)
+    ]
+    target_marker = _point_select(wmk, d, 1, 1, bx, by)
+    penetrates = oob | (target_marker == float(CELL_SOLID))
+
+    direction, max_step = _clamp_step(pos, movement)
+    for a in range(3):
+        corrected = jnp.clip(pos[a] + direction[a] * max_step, 1.001, gmax[a])
+        new_pos[a] = jnp.where(penetrates, corrected, new_pos[a])
+
+    for a in range(3):
+        out_ref[:, a] = jnp.where(validb, new_pos[a], 0.0)
+    out_ref[:, 3:] = data_ref[:, 3:]
+
+
+def _grid_window_scratch(bx, by, zp, hx):
+    return pltpu.VMEM((bx + 2 * hx, by + 2 * _YH, zp), jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid_dim", "bx", "by", "interpret", "with_solids")
+)
+def _advect_call(
+    data, dt_arr, v0, v1, v2, occ, s0, s1, s2,
+    *, grid_dim, bx, by, interpret, with_solids,
+):
+    k, ch, x, y, zp = data.shape
+    kernel = functools.partial(
+        _advect_kernel, bx=bx, by=by, X=x, Y=y, grid_dim=grid_dim,
+        with_solids=with_solids,
+    )
+    table_spec = pl.BlockSpec(
+        (k, ch, bx, by, zp), lambda i, j: (0, 0, i, j, 0), memory_space=pltpu.VMEM
+    )
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), table_spec, any_spec, any_spec, any_spec]
+    inputs = [dt_arr, data, v0, v1, v2]
+    scratch = [
+        _grid_window_scratch(bx, by, zp, 1),
+        _grid_window_scratch(bx, by, zp, 1),
+        _grid_window_scratch(bx, by, zp, 1),
+    ]
+    if with_solids:
+        in_specs += [any_spec] * 4
+        inputs += [occ, s0, s1, s2]
+        scratch += [
+            _grid_window_scratch(bx, by, zp, 2),
+            _grid_window_scratch(bx, by, zp, 1),
+            _grid_window_scratch(bx, by, zp, 1),
+            _grid_window_scratch(bx, by, zp, 1),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((9 * (7 if with_solids else 3),)))
+    return pl.pallas_call(
+        kernel,
+        grid=(x // bx, y // by),
+        in_specs=in_specs,
+        out_specs=table_spec,
+        out_shape=jax.ShapeDtypeStruct(data.shape, jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_dim", "bx", "by", "interpret"))
+def _correct_call(data, c0, c1, c2, marker_f, *, grid_dim, bx, by, interpret):
+    k, ch, x, y, zp = data.shape
+    kernel = functools.partial(
+        _correct_kernel, bx=bx, by=by, X=x, Y=y, grid_dim=grid_dim
+    )
+    table_spec = pl.BlockSpec(
+        (k, ch, bx, by, zp), lambda i, j: (0, 0, i, j, 0), memory_space=pltpu.VMEM
+    )
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    scratch = [_grid_window_scratch(bx, by, zp, 1) for _ in range(4)]
+    scratch.append(pltpu.SemaphoreType.DMA((36,)))
+    return pl.pallas_call(
+        kernel,
+        grid=(x // bx, y // by),
+        in_specs=[table_spec] + [any_spec] * 4,
+        out_specs=table_spec,
+        out_shape=jax.ShapeDtypeStruct(data.shape, jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(data, c0, c1, c2, marker_f)
+
+
+def _pad_z(g: jax.Array, zp: int) -> jax.Array:
+    z = g.shape[2]
+    if z == zp:
+        return g
+    return jnp.pad(g, ((0, 0), (0, 0), (0, zp - z)))
+
+
+def _pick_blocks(x: int, y: int, zp: int, k: int, budget_bytes: int = 88 << 20):
+    """(bx, by): the VMEM-heavy live set is the in+out table blocks (x2 for
+    pipelining) plus ~48 K-shaped compute intermediates."""
+    assert y % 8 == 0, f"pallas advect requires Y divisible by 8, got {y}"
+    by = 8
+    for bx in (8, 4, 2, 1):
+        if x % bx == 0 and (4 * NUM_CH + 48) * k * bx * by * zp * 4 <= budget_bytes:
+            return bx, by
+    return 1, by
+
+
+def supports(grid_dim, capacity: int) -> bool:
+    x, y, z = grid_dim
+    if y % 8:
+        return False
+    zp = max(128, -(-z // 128) * 128)
+    return (4 * NUM_CH + 48) * capacity * 1 * 8 * zp * 4 <= (88 << 20)
+
+
+def advect_sm_pallas(
+    sm: SlotMajorTable, vel_grids, solid_occupancy, solid_velocity, dt,
+    interpret: bool = False,
+) -> SlotMajorTable:
+    """Drop-in replacement for sm_phases.advect_slot_major. `dt` may be a
+    traced scalar (it rides in SMEM). Caller must rebin(max_shift=2)."""
+    x, y, z = sm.grid_dim
+    zp = sm.data.shape[-1]
+    bx, by = _pick_blocks(x, y, zp, sm.capacity)
+    dt_arr = jnp.reshape(jnp.asarray(dt, jnp.float32), (1,))
+    vel_p = [_pad_z(v, zp) for v in vel_grids]
+    if solid_occupancy is None:
+        zero = jnp.zeros((), jnp.float32)  # placeholder, not passed to the kernel
+        data = _advect_call(
+            sm.data, dt_arr, *vel_p, zero, zero, zero, zero,
+            grid_dim=sm.grid_dim, bx=bx, by=by, interpret=interpret,
+            with_solids=False,
+        )
+    else:
+        occ_p = _pad_z(solid_occupancy, zp)
+        sv_p = [_pad_z(solid_velocity[..., a], zp) for a in range(3)]
+        data = _advect_call(
+            sm.data, dt_arr, *vel_p, occ_p, *sv_p,
+            grid_dim=sm.grid_dim, bx=bx, by=by, interpret=interpret,
+            with_solids=True,
+        )
+    return SlotMajorTable(data=data, lost=sm.lost, grid_dim=sm.grid_dim)
+
+
+def correct_sm_pallas(
+    sm: SlotMajorTable, change, marker, interpret: bool = False
+) -> SlotMajorTable:
+    """Drop-in replacement for sm_phases.correct_slot_major.
+    Caller must rebin(max_shift=1)."""
+    x, y, z = sm.grid_dim
+    zp = sm.data.shape[-1]
+    bx, by = _pick_blocks(x, y, zp, sm.capacity)
+    change_p = [_pad_z(c, zp) for c in change]
+    marker_f = _pad_z(marker.astype(jnp.float32), zp)
+    data = _correct_call(
+        sm.data, *change_p, marker_f,
+        grid_dim=sm.grid_dim, bx=bx, by=by, interpret=interpret,
+    )
+    return SlotMajorTable(data=data, lost=sm.lost, grid_dim=sm.grid_dim)

@@ -167,6 +167,7 @@ def profile_step(params, state, solids=None, repeats: int = 3) -> Dict[str, floa
 
 def profile_step_sm(params, state, solids=None, repeats: int = 3):
     """Phase-by-phase timing of the slot-major (Pallas kernel) step path."""
+    from ..ops.pallas_advect import advect_sm_pallas, correct_sm_pallas
     from ..ops.pallas_p2g import p2g_density_pallas, p2g_velocity_density_pallas
     from ..ops.pallas_rebin import rebin_slot_major
     from ..sim.dense_transfer import density_rhs_from_raw
@@ -174,11 +175,7 @@ def profile_step_sm(params, state, solids=None, repeats: int = 3):
     from ..sim.divergence import compute_divergence_rhs, remove_divergence
     from ..sim.extrapolate import extrapolate_velocity
     from ..sim.pressure import solve_pressure
-    from ..sim.sm_phases import (
-        advect_slot_major,
-        correct_slot_major,
-        marker_from_slot_major,
-    )
+    from ..sim.sm_phases import marker_from_slot_major
 
     occupancy = solids.occupancy if solids is not None else None
     solid_vel = solids.velocity if solids is not None else None
@@ -194,12 +191,12 @@ def profile_step_sm(params, state, solids=None, repeats: int = 3):
     f_solve = jax.jit(lambda p0, r, m: solve_pressure(p0, r, m, params.solver_vel, dt).pressure)
     f_remove = jax.jit(lambda v, p, m: remove_divergence(v, p, m, solid_vel))
     f_extrap = jax.jit(extrapolate_velocity)
-    f_advect = jax.jit(lambda t, v: advect_slot_major(t, v, occupancy, solid_vel, dt))
+    f_advect = jax.jit(lambda t, v: advect_sm_pallas(t, v, occupancy, solid_vel, dt))
     f_rebin2 = jax.jit(lambda t: rebin_slot_major(t, max_shift=2))
     f_rho = jax.jit(p2g_density_pallas)
     f_rho_rhs = jax.jit(lambda d, m: density_rhs_from_raw(d, m, dt))
     f_change = jax.jit(lambda p, m: extrapolate_velocity(position_change_field(p, m, dt), m))
-    f_correct = jax.jit(correct_slot_major)
+    f_correct = jax.jit(correct_sm_pallas)
     f_rebin1 = jax.jit(lambda t: rebin_slot_major(t, max_shift=1))
 
     timer = PhaseTimer()

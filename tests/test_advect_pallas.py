@@ -1,0 +1,102 @@
+"""Pallas advect/correct kernels (interpret mode) vs the slot-major oracles."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from blub_tpu.core.seeding import add_fluid_cube
+from blub_tpu.ops.pallas_advect import advect_sm_pallas, correct_sm_pallas
+from blub_tpu.sim import table as T
+from blub_tpu.sim.dense_transfer import marker_from_table
+from blub_tpu.sim.slot_major import from_table, to_table
+from blub_tpu.sim.sm_phases import advect_slot_major, correct_slot_major
+
+G = (16, 16, 16)
+
+
+def _table(k=8, seed=0):
+    pos = add_fluid_cube(G, (1, 1, 1), (9, 8, 15), 10**9)
+    tab = T.from_positions(pos, G, k)
+    rng = np.random.default_rng(seed)
+    return dataclasses.replace(
+        tab,
+        vel=jnp.asarray(rng.standard_normal(np.asarray(tab.vel).shape).astype(np.float32) * 5),
+        affine=jnp.asarray(rng.standard_normal(np.asarray(tab.affine).shape).astype(np.float32)),
+    )
+
+
+def _grids(seed=1):
+    rng = np.random.default_rng(seed)
+    return tuple(jnp.asarray(rng.standard_normal(G).astype(np.float32) * 20) for _ in range(3))
+
+
+def _solids():
+    occ = np.zeros(G, np.float32)
+    occ[6:9, 2:5, 6:9] = 1.0
+    sv = np.zeros(G + (3,), np.float32)
+    sv[6:9, 2:5, 6:9] = (12.0, 4.0, -2.0)
+    return jnp.asarray(occ), jnp.asarray(sv)
+
+
+def _assert_tables_close(ref_sm, got_sm, pos_only=False):
+    ref, got = to_table(ref_sm), to_table(got_sm)
+    valid = np.asarray(ref.valid)
+    np.testing.assert_array_equal(valid, np.asarray(got.valid))
+    np.testing.assert_allclose(
+        np.asarray(ref.pos)[valid], np.asarray(got.pos)[valid], atol=1e-5
+    )
+    if not pos_only:
+        np.testing.assert_allclose(
+            np.asarray(ref.vel)[valid], np.asarray(got.vel)[valid], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.affine)[valid], np.asarray(got.affine)[valid], atol=1e-4
+        )
+    # invalid slots and z padding must stay exactly zero
+    assert not np.any(np.asarray(got_sm.data[:, :15]) * (1.0 - np.asarray(got_sm.data[:, 15:16])))
+
+
+def test_advect_kernel_matches_oracle():
+    sm = from_table(_table())
+    vel = _grids()
+    dt = 1.0 / 120.0
+    ref = advect_slot_major(sm, vel, None, None, dt)
+    got = advect_sm_pallas(sm, vel, None, None, dt, interpret=True)
+    _assert_tables_close(ref, got)
+
+
+def test_advect_kernel_matches_oracle_solids():
+    sm = from_table(_table(seed=4))
+    vel = _grids(seed=5)
+    occ, sv = _solids()
+    dt = 1.0 / 120.0
+    ref = advect_slot_major(sm, vel, occ, sv, dt)
+    got = advect_sm_pallas(sm, vel, occ, sv, dt, interpret=True)
+    _assert_tables_close(ref, got)
+
+
+def test_advect_kernel_traced_dt():
+    """dt rides in SMEM, so a traced dt (on-device CFL substepping) works."""
+    import jax
+
+    sm = from_table(_table(seed=6))
+    vel = _grids(seed=7)
+
+    def run(dt):
+        return advect_sm_pallas(sm, vel, None, None, dt, interpret=True).data
+
+    dt = jnp.float32(1.0 / 120.0)
+    ref = advect_slot_major(sm, vel, None, None, float(dt))
+    got = jax.jit(run)(dt)
+    np.testing.assert_allclose(np.asarray(ref.data), np.asarray(got), atol=1e-4)
+
+
+def test_correct_kernel_matches_oracle():
+    tab = _table(seed=2)
+    sm = from_table(tab)
+    change = tuple(g * 0.002 for g in _grids(3))
+    marker = marker_from_table(tab, None)
+    ref = correct_slot_major(sm, change, marker)
+    got = correct_sm_pallas(sm, change, marker, interpret=True)
+    _assert_tables_close(ref, got, pos_only=True)

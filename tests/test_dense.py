@@ -188,3 +188,33 @@ def test_multi_step_dense_stability():
     assert (tp >= 1.0).all() and (tp <= np.array(DIM) - 1.0).all()
     assert int(state.table.num_particles()) + int(state.table.lost) == pos.shape[0]
     assert int(state.table.lost) <= pos.shape[0] // 100  # <1% loss budget
+
+
+def test_frame_dense_on_device_cfl():
+    """frame_dense decides the substep count on device: a fast flow splits the
+    frame into n_sub substeps of dt/n_sub; a calm one runs a single step —
+    and the split frame conserves particles (VERDICT.md weak #3/#4)."""
+    from blub_tpu.sim.step_dense import frame_dense, multi_frame_dense
+
+    pos = add_fluid_cube(DIM, (1, 1, 1), (6, 8, 13), 10**9)
+    params = SimParams(
+        grid_dim=DIM, dt=1.0 / 120.0, gravity_grid=(0.0, -981.0, 0.0),
+        num_particles=pos.shape[0],
+    )
+    state = make_dense_state(params, pos, capacity=16, layout="pt")
+    n0 = int(state.table.num_particles())
+
+    calm, n_calm = jax.jit(lambda s: frame_dense(params, s, cfl_target=1.5, max_substeps=4))(state)
+    assert int(n_calm) == 1
+
+    fast = dataclasses.replace(state, max_speed=jnp.float32(400.0))
+    out, n_fast = jax.jit(lambda s: frame_dense(params, s, cfl_target=1.5, max_substeps=4))(fast)
+    assert int(n_fast) == 3  # 400/120 = 3.33 cells/frame over a 1.5 target
+    assert int(out.table.num_particles()) + int(out.table.lost) == n0
+
+    batched, nsubs = jax.jit(
+        lambda s: multi_frame_dense(params, s, 4, cfl_target=1.5, max_substeps=4)
+    )(state)
+    assert nsubs.shape == (4,)
+    assert int(batched.table.num_particles()) + int(batched.table.lost) == n0
+    assert int(batched.step_index) == int(jnp.sum(nsubs))
