@@ -44,6 +44,10 @@ def _renderer(scene, args):
             height=args.height,
             fluid_mode=FluidRenderingMode(args.fluid_mode),
             volume_mode=VolumeVisualizationMode(getattr(args, "volume_mode", "none")),
+            grid_to_world_scale=scene.config.fluid.grid_to_world_scale,
+            show_voxel_debug=bool(getattr(args, "voxel_debug", False)),
+            show_bounds_box=not getattr(args, "no_bounds", False),
+            show_solid_meshes=not getattr(args, "no_solids", False),
         ),
     )
 
@@ -51,13 +55,46 @@ def _renderer(scene, args):
 def _draw(scene, renderer):
     field = None
     vector = False
+    velocity_grid = None
+    marker = None
     mode = renderer.settings.volume_mode.value
     if mode != "none":
         fields = scene.debug_fields()
-        field = fields.get(mode)
-        vector = mode == "velocity"
+        if mode == "velocity":
+            velocity_grid = fields.get("velocity")
+            marker = fields.get("marker")
+        else:
+            field = fields.get(mode)
+
+    solid_meshes = None
+    solid_occ = None
+    solid_vel = None
+    if scene.solid_objects and (
+        renderer.settings.show_solid_meshes or renderer.settings.show_voxel_debug
+    ):
+        t = scene.total_simulated_time
+        solid_meshes = [
+            (o.mesh_at(t), o.mesh_faces)
+            for o in scene.solid_objects
+            if o.mesh_verts is not None
+        ]
+        if renderer.settings.show_voxel_debug:
+            import numpy as _np
+
+            solids = scene.current_solids()
+            if solids is not None:
+                solid_occ = _np.asarray(solids.occupancy)
+                solid_vel = _np.asarray(solids.velocity)
     return renderer.draw(
-        scene.particle_positions(), scene.particle_velocities(), field=field, field_is_vector=vector
+        scene.particle_positions(),
+        scene.particle_velocities(),
+        field=field,
+        field_is_vector=vector,
+        solid_meshes=solid_meshes,
+        solid_occupancy=solid_occ,
+        solid_velocity=solid_vel,
+        velocity_grid=velocity_grid,
+        marker=marker,
     )
 
 
@@ -108,10 +145,19 @@ def cmd_run(args) -> int:
     t_end = args.sim_seconds
     next_frame = 0.0
     wall0 = time.time()
+    last_autosave = time.time()
     while scene.total_simulated_time < t_end - 1e-9:
         ctl.fast_forward(min(frame_len, t_end - scene.total_simulated_time))
         if recorder is not None:
             recorder.capture_frame(_draw(scene, renderer))
+        if args.checkpoint_every > 0 and time.time() - last_autosave >= args.checkpoint_every:
+            # periodic autosave: a TPU-worker crash (a ~3-5 min recovery event)
+            # must not lose the whole run (VERDICT.md weak #9)
+            from .runtime.checkpoint import save_scene
+
+            path = save_scene(scene, args.checkpoint_out or "autosave.npz")
+            last_autosave = time.time()
+            print(f"autosaved checkpoint: {path}", file=sys.stderr)
         stats = scene.solver_stats()
         print(
             f"t={scene.total_simulated_time:7.3f}s steps={ctl.total_steps:6d} "
@@ -198,6 +244,12 @@ def main(argv=None) -> int:
         sp.add_argument("--volume-mode", default="none",
                         choices=["none", "velocity", "divergence_error",
                                  "pressure_from_velocity", "pressure_from_density", "marker"])
+        sp.add_argument("--voxel-debug", action="store_true",
+                        help="draw the voxelized solids (VoxelRenderer debug view)")
+        sp.add_argument("--no-bounds", action="store_true",
+                        help="hide the domain bounds box")
+        sp.add_argument("--no-solids", action="store_true",
+                        help="hide solid object meshes")
         sp.add_argument("--output-dir", default=".")
 
     sp = sub.add_parser("info", help="print scene facts")
@@ -208,6 +260,8 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--record-fps", type=float, default=0.0)
     sp.add_argument("--checkpoint-out", default="")
+    sp.add_argument("--checkpoint-every", type=float, default=0.0,
+                    help="autosave the checkpoint every N wall seconds (0 = off)")
     sp.add_argument("--resume", default="")
     sp.set_defaults(fn=cmd_run)
 

@@ -204,6 +204,25 @@ class SolidObject:
     pad_lo: Tuple[int, int, int]
     grid_scale: float
     fluid_world_position: Tuple[float, float, float]
+    # render geometry in model-local space (the OBJ, or the procedural
+    # stand-in that matches the baked SDF) — consumed by render/mesh.py's
+    # MeshRenderer analog; None when no geometry is available.
+    mesh_verts: Optional[np.ndarray] = None  # f32[N,3]
+    mesh_faces: Optional[np.ndarray] = None  # i32[M,3]
+
+    def mesh_at(self, t: float) -> Optional[np.ndarray]:
+        """Mesh vertices at animation time t, in GRID space (mesh.vert's
+        WorldTransform, models.rs world = T(pos) S(scale) R local)."""
+        if self.mesh_verts is None:
+            return None
+        rot = _euler_matrix(self.config.rotation_angles)
+        world = (
+            self.world_position_at(t)
+            + self.config.scale * (self.mesh_verts.astype(np.float64) @ rot.T)
+        )
+        return ((world - np.asarray(self.fluid_world_position)) / self.grid_scale).astype(
+            np.float32
+        )
 
     def world_position_at(self, t: float) -> np.ndarray:
         cfg = self.config
@@ -299,16 +318,21 @@ def build_solid_objects(scene: SceneConfig, models_dir: pathlib.Path | None = No
         geom = load_obj(models_dir / cfg.model)
         if geom is not None:
             sdf_local = mesh_sdf(geom[0], geom[1], local)
+            mesh_verts, mesh_faces = geom
         else:
+            from ..render.mesh import cube_mesh, icosphere_mesh
+
             name = str(cfg.model).lower()
             if "cube" in name:
                 sdf_local = box_sdf(local, (0, 0, 0), (1, 1, 1))
+                mesh_verts, mesh_faces = cube_mesh()
             else:
                 log.warning(
                     "model %s unavailable (git-lfs pointer?); using procedural sphere stand-in",
                     cfg.model,
                 )
                 sdf_local = sphere_sdf(local, (0.5, 0.5, 0.5), 0.5)
+                mesh_verts, mesh_faces = icosphere_mesh(2)
         # convert local-space distance to voxel units (uniform scale)
         sdf = (sdf_local * (cfg.scale / s_g)).reshape(shape).astype(np.float32)
         out.append(
@@ -318,6 +342,8 @@ def build_solid_objects(scene: SceneConfig, models_dir: pathlib.Path | None = No
                 pad_lo=tuple(int(v) for v in pad_lo),
                 grid_scale=s_g,
                 fluid_world_position=scene.fluid.world_position,
+                mesh_verts=np.asarray(mesh_verts, np.float32),
+                mesh_faces=np.asarray(mesh_faces, np.int32),
             )
         )
     return out

@@ -6,6 +6,9 @@ TTY, otherwise it runs as a non-interactive status monitor.
 
 Keys: [space] pause/resume   [f] fast-forward 1s   [r] reset
       [+]/[-] sim steps per second                 [s] screenshot   [q] quit
+      [t]/[T] solver tolerance /2,*2   [i]/[I] solver max iterations -8,+8
+      [c]/[C] error check frequency    [m] fluid render mode   [v] volume mode
+(the solver/timing knobs mirror the reference GUI, src/gui/mod.rs:212-420)
 """
 
 from __future__ import annotations
@@ -15,6 +18,7 @@ import select
 import sys
 import time
 from collections import deque
+from dataclasses import replace as dataclasses_replace
 from typing import Deque, Optional
 
 from ..runtime.controller import SimulationController, SimulationControllerStatus
@@ -79,7 +83,18 @@ class Dashboard:
             "",
             f"  lost particles {stats['lost_particles']}",
             "",
-            "  [space] pause  [f] +1s fast-forward  [r] reset  [s] screenshot  [q] quit",
+            f"  solver: tol {scene.settings.solver_velocity.error_tolerance:g}  "
+            f"max-it {scene.settings.solver_velocity.max_num_iterations}  "
+            f"check-freq {scene.settings.solver_velocity.error_check_frequency}"
+            + (
+                f"   render: {self.renderer.settings.fluid_mode.value}"
+                f" / {self.renderer.settings.volume_mode.value}"
+                if self.renderer is not None
+                else ""
+            ),
+            "",
+            "  [space] pause  [f] +1s  [r] reset  [s] screenshot  [q] quit",
+            "  [t/T] tolerance  [i/I] max iters  [c/C] check freq  [m] fluid mode  [v] volume mode",
         ]
         if self._msg:
             lines.append(f"  \x1b[33m{self._msg}\x1b[0m")
@@ -109,15 +124,63 @@ class Dashboard:
             rgb = self.renderer.draw(scene.particle_positions(), scene.particle_velocities())
             path = self.recorder.screenshot(rgb)
             self._msg = f"wrote {path}"
+        elif key in "tT":
+            self._tweak_solvers(
+                lambda c: dataclasses_replace(
+                    c, error_tolerance=c.error_tolerance * (2.0 if key == "T" else 0.5)
+                )
+            )
+        elif key in "iI":
+            self._tweak_solvers(
+                lambda c: dataclasses_replace(
+                    c,
+                    max_num_iterations=max(
+                        c.max_num_iterations + (8 if key == "I" else -8), 4
+                    ),
+                )
+            )
+        elif key in "cC":
+            self._tweak_solvers(
+                lambda c: dataclasses_replace(
+                    c,
+                    error_check_frequency=max(
+                        c.error_check_frequency + (1 if key == "C" else -1), 1
+                    ),
+                )
+            )
+        elif key == "m" and self.renderer is not None:
+            self._cycle_mode("fluid_mode")
+        elif key == "v" and self.renderer is not None:
+            self._cycle_mode("volume_mode")
         return True
 
-    def _set_rate(self, rate: int) -> None:
-        # SimSettings is frozen; rebuilding it changes dt for subsequent steps
-        import dataclasses
+    def _cycle_mode(self, attr: str) -> None:
+        s = self.renderer.settings
+        cur = getattr(s, attr)
+        options = list(type(cur))
+        nxt = options[(options.index(cur) + 1) % len(options)]
+        setattr(s, attr, nxt)
+        self._msg = f"{attr} -> {nxt.value}"
 
+    def _tweak_solvers(self, fn) -> None:
         scene = self.ctl.scene
-        scene.settings = dataclasses.replace(scene.settings, simulation_steps_per_second=rate)
-        self._msg = f"steps/s -> {rate} (takes effect via controller pacing)"
+        st = scene.settings
+        new = dataclasses_replace(
+            st, solver_velocity=fn(st.solver_velocity), solver_density=fn(st.solver_density)
+        )
+        scene.update_settings(new)
+        self._msg = (
+            f"solver: tol {new.solver_velocity.error_tolerance:g}, "
+            f"max-it {new.solver_velocity.max_num_iterations}, "
+            f"check-freq {new.solver_velocity.error_check_frequency} (recompiles)"
+        )
+
+    def _set_rate(self, rate: int) -> None:
+        scene = self.ctl.scene
+        scene.update_settings(
+            dataclasses_replace(scene.settings, simulation_steps_per_second=rate)
+        )
+        self._msg = f"steps/s -> {rate}"
 
     # ----------------------------------------------------------------- loop
 

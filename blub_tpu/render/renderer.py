@@ -1,29 +1,43 @@
-"""Offline scene renderer: particle spheres, screen-space fluid, volume
-visualization — the capability set of src/renderer/ (SceneRenderer,
-ParticleRenderer, ScreenSpaceFluid, VolumeRenderer, Background) behind the
+"""Offline scene renderer — the capability set of src/renderer/
+(SceneRenderer, ParticleRenderer, ScreenSpaceFluid, VolumeRenderer,
+VoxelRenderer, MeshRenderer, StaticLineRenderer, Background) behind the
 state-readback boundary: the simulation returns particle/grid arrays and this
 module turns them into images on the host, entirely off the hot path.
 
 Technique mapping:
 - ParticleRenderer's ray-cast sphere impostors (sphere_particles.frag) ->
-  z-buffered point splats with spherical depth offsets + screen-space normal
-  reconstruction;
-- ScreenSpaceFluid (depth min-splat, narrow-range filter, thickness,
-  Beer-Lambert + Fresnel compose; shader/screenspace_fluid/*) -> the same
-  passes as numpy image ops with a depth-clamped separable blur;
-- VolumeRenderer's per-cell billboards -> value-scaled cell-center splats;
-- Background's checkered ground plane (background.glsl:25-63) + sky gradient.
+  z-buffered point splats with spherical depth offsets, sun+SH-lit;
+- ScreenSpaceFluid -> real narrow-range depth filter + gaussian thickness +
+  refraction/Beer-Lambert/HG-scatter/reflection/Fresnel compose (render/ssf.py);
+- MeshRenderer -> host triangle rasterizer over the scene's solid meshes
+  (render/mesh.py), mesh.frag shading;
+- VoxelRenderer -> exposed-face cubes of the voxelized occupancy, albedo =
+  |voxel velocity| * viz scale (voxel_visualization.frag);
+- VolumeRenderer -> SIGNED cool-to-warm billboards scaled by |value|
+  (volume_visualization_with_billboards.vert) + staggered velocity line lists
+  (velocity.vert) via the line rasterizer (render/lines.py);
+- StaticLineRenderer -> domain bounds box, black (scene_renderer.rs:134-171);
+- Background -> grid ground plane + SH sky + sun, reference lighting constants
+  (render/environment.py).
+
+Draw order mirrors scene_renderer.rs draw(): background -> solids (mesh /
+voxel debug) -> fluid -> volume visualization -> bounds lines, then the
+HDR->sRGB tonemap (hdr_backbuffer.rs:92).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
+from . import ssf
 from .camera import Camera
+from .environment import LIGHTING, sample_background, shade_surface, tonemap
+from .lines import colormap_cool_to_warm, domain_bounds_lines, draw_lines, velocity_lines
+from .mesh import rasterize_mesh, voxel_surface_mesh
 
 
 class FluidRenderingMode(enum.Enum):
@@ -35,7 +49,7 @@ class FluidRenderingMode(enum.Enum):
 
 class VolumeVisualizationMode(enum.Enum):
     NONE = "none"
-    VELOCITY = "velocity"
+    VELOCITY = "velocity"  # staggered line list (velocity.vert)
     DIVERGENCE_ERROR = "divergence_error"
     PRESSURE_FROM_VELOCITY = "pressure_from_velocity"
     PRESSURE_FROM_DENSITY = "pressure_from_density"
@@ -53,8 +67,11 @@ class RenderSettings:
     fluid_mode: FluidRenderingMode = FluidRenderingMode.PARTICLES_VELOCITY
     volume_mode: VolumeVisualizationMode = VolumeVisualizationMode.NONE
     particle_radius_factor: float = 1.0  # GUI knob (scene_renderer.rs:173-176)
-    velocity_viz_scale: float = 100.0  # |v| mapped to heatmap max (grid/s)
-    fluid_color: Tuple[float, float, float] = (0.15, 0.45, 0.85)
+    velocity_viz_scale: float = 0.01  # reference VelocityVisualizationScale
+    grid_to_world_scale: float = 0.01  # scene fluid.grid_to_world_scale
+    show_solid_meshes: bool = True  # MeshRenderer on/off
+    show_voxel_debug: bool = False  # VoxelRenderer (debug view)
+    show_bounds_box: bool = True  # StaticLineRenderer bounds
 
 
 class SceneRenderer:
@@ -69,8 +86,8 @@ class SceneRenderer:
 
     # ------------------------------------------------------------------ core
 
-    def _splat(self, pos: np.ndarray, radius: float, values: Optional[np.ndarray] = None):
-        """Z-buffered sphere splatting.
+    def _splat(self, pos: np.ndarray, radius, values: Optional[np.ndarray] = None):
+        """Z-buffered sphere splatting. radius: scalar or per-point f32[N].
 
         Returns (depth f32[H,W], winner i32[H,W] or None): depth buffer with
         spherical offsets, and per-pixel winning point index when ``values``
@@ -80,7 +97,9 @@ class SceneRenderer:
         w, h = s.width, s.height
         px, py, z, valid = self.camera.project(pos, w, h)
         f = self.camera.focal_px(h)
+        radius = np.broadcast_to(np.asarray(radius, np.float32), (len(pos),))
         r_px = np.clip(f * radius / np.maximum(z, 1e-3), 0.6, 8.0)
+        valid = valid & (radius > 1e-6)
 
         try:
             from ..ops.native import splat_native
@@ -133,6 +152,8 @@ class SceneRenderer:
         return depth, winner
 
     def _thickness(self, pos: np.ndarray, radius: float) -> np.ndarray:
+        """Additive thickness splats (particles.frag:12-25): per pixel the
+        sphere chord length * 0.25 * s_g / radius, in WORLD units."""
         s = self.settings
         w, h = s.width, s.height
         px, py, z, valid = self.camera.project(pos, w, h)
@@ -142,22 +163,29 @@ class SceneRenderer:
         ix = np.round(px).astype(np.int64)
         iy = np.round(py).astype(np.int64)
         rmax = int(np.ceil(r_px.max())) if len(r_px) else 0
+        chord_scale = 0.25 * s.grid_to_world_scale
         for dy in range(-rmax, rmax + 1):
             for dx in range(-rmax, rmax + 1):
                 d2 = dx * dx + dy * dy
                 m = valid & (d2 <= r_px * r_px)
                 if not m.any():
                     continue
-                x = np.clip(ix[m] + dx, 0, w - 1)
-                y = np.clip(iy[m] + dy, 0, h - 1)
-                np.add.at(buf, y * w + x, radius)
+                inb = (ix[m] + dx >= 0) & (ix[m] + dx < w) & (iy[m] + dy >= 0) & (iy[m] + dy < h)
+                sel = np.nonzero(m)[0][inb]
+                if not len(sel):
+                    continue
+                rr = r_px[sel]
+                # chord through the sphere at this pixel, in grid units
+                chord = 2.0 * np.sqrt(np.maximum(rr * rr - d2, 0.0)) * z[sel] / f
+                lin = (iy[sel] + dy) * w + (ix[sel] + dx)
+                np.add.at(buf, lin, chord * chord_scale / max(radius, 1e-6))
         return buf.reshape(h, w)
 
     # ------------------------------------------------------------ background
 
     def _background(self) -> Tuple[np.ndarray, np.ndarray]:
-        """(rgb f32[H,W,3], depth f32[H,W]) — sky gradient + checkered ground
-        plane at y=1 (domain floor), box-filtered-ish like background.glsl."""
+        """(rgb f32[H,W,3] linear HDR, view-depth f32[H,W] grid units) — the
+        Background analog: grid ground plane at world y=0 + SH sky + sun."""
         s = self.settings
         w, h = s.width, s.height
         right, up, fwd = self.camera.basis()
@@ -169,26 +197,16 @@ class SceneRenderer:
             + xs[None, :, None] * right[None, None]
             + ys[:, None, None] * up[None, None]
         )
-        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        cosv = np.linalg.norm(dirs, axis=-1)  # |dir| = 1/cos(view angle)
+        dirs = dirs / cosv[..., None]
 
-        t_sky = np.clip(dirs[..., 1] * 0.5 + 0.5, 0, 1)[..., None]
-        sky = (1 - t_sky) * np.array([0.85, 0.88, 0.92]) + t_sky * np.array([0.35, 0.55, 0.85])
-
-        floor_y = 1.0
-        dy = dirs[..., 1]
-        t = (floor_y - self.camera.position[1]) / np.where(np.abs(dy) < 1e-6, -1e-6, dy)
-        hit = (t > 0) & (dy < 0)
-        gx = self.camera.position[0] + t * dirs[..., 0]
-        gz = self.camera.position[2] + t * dirs[..., 2]
-        cell = 8.0
-        checker = ((np.floor(gx / cell) + np.floor(gz / cell)) % 2).astype(np.float32)
-        fade = np.exp(-np.maximum(t, 0) / 600.0)
-        ground = (0.45 + 0.25 * checker)[..., None] * np.array([1.0, 1.0, 1.0]) * fade[..., None] + sky * (
-            1 - fade[..., None]
-        )
-        rgb = np.where(hit[..., None], ground, sky).astype(np.float32)
-        depth = np.where(hit, t, _FAR).astype(np.float32)
-        return rgb, depth
+        world_cam = self.camera.position * s.grid_to_world_scale
+        rgb, t_world = sample_background(world_cam.astype(np.float32), dirs)
+        # ray distance (world) -> view-space z (grid units)
+        depth = np.where(
+            np.isfinite(t_world), t_world / s.grid_to_world_scale / cosv, _FAR
+        ).astype(np.float32)
+        return rgb.astype(np.float32), depth
 
     # --------------------------------------------------------------- shading
 
@@ -208,23 +226,13 @@ class SceneRenderer:
         c2 = np.array([0.95, 0.15, 0.1])
         return np.where(t < 0.5, c0 + (c1 - c0) * (t * 2), c1 + (c2 - c1) * (t * 2 - 1))
 
-    def _depth_smooth(self, depth: np.ndarray, iterations: int = 3, clamp: float = 2.0) -> np.ndarray:
-        """Narrow-range-style depth filter: separable blur that clamps
-        neighbor depths to +-clamp around the center before averaging
-        (narrow_range_filter.glsl's dynamic depth-range clamp)."""
-        d = depth.copy()
-        valid = depth < _FAR
-        for _ in range(iterations):
-            acc = np.zeros_like(d)
-            wsum = np.zeros_like(d)
-            for off, axis in (((0, 1), 1), ((0, -1), 1), ((1, 0), 0), ((-1, 0), 0), ((0, 0), 0)):
-                shifted = np.roll(d, off, axis=(0, 1))
-                v = np.roll(valid, off, axis=(0, 1))
-                nb = np.clip(shifted, d - clamp, d + clamp)
-                acc += np.where(v, nb, 0.0)
-                wsum += v.astype(np.float32)
-            d = np.where(valid, acc / np.maximum(wsum, 1.0), d)
-        return d
+    def _screen_normals_to_grid(self, n_screen: np.ndarray) -> np.ndarray:
+        right, up, fwd = self.camera.basis()
+        return (
+            n_screen[..., 0:1] * right[None, None]
+            + n_screen[..., 1:2] * up[None, None]
+            - n_screen[..., 2:3] * fwd[None, None]
+        )
 
     # ------------------------------------------------------------------ draw
 
@@ -234,67 +242,120 @@ class SceneRenderer:
         velocities: Optional[np.ndarray] = None,
         field: Optional[np.ndarray] = None,
         field_is_vector: bool = False,
+        solid_meshes: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None,
+        solid_occupancy: Optional[np.ndarray] = None,
+        solid_velocity: Optional[np.ndarray] = None,
+        velocity_grid: Optional[np.ndarray] = None,
+        marker: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Render one frame. Returns uint8[H,W,3].
 
-        ``field`` feeds the volume-visualization overlay (e.g. a pressure or
-        divergence grid) when settings.volume_mode is not NONE.
+        solid_meshes: [(verts grid-space f32[N,3], faces i32[M,3])] for the
+        MeshRenderer pass; solid_occupancy/_velocity feed the voxel debug
+        view; velocity_grid+marker feed VolumeVisualizationMode.VELOCITY;
+        ``field`` feeds the billboard modes (SIGNED values).
         """
         s = self.settings
-        rgb, depth_bg = self._background()
-        depth = depth_bg.copy()
+        rgb, depth = self._background()
 
+        # --- solids (MeshRenderer / VoxelRenderer) ---------------------------
+        if s.show_solid_meshes and solid_meshes:
+            for verts, faces in solid_meshes:
+                rasterize_mesh(rgb, depth, self.camera, verts, faces, albedo=1.0)
+        if s.show_voxel_debug and solid_occupancy is not None:
+            verts, faces, cells = voxel_surface_mesh(np.asarray(solid_occupancy))
+            if len(faces):
+                if solid_velocity is not None:
+                    v = np.asarray(solid_velocity)[cells[:, 0], cells[:, 1], cells[:, 2]]
+                    albedo = np.abs(v) * s.velocity_viz_scale
+                else:
+                    albedo = np.zeros((len(faces), 3), np.float32)
+                rasterize_mesh(
+                    rgb, depth, self.camera, verts, faces, albedo=albedo,
+                    cull_backfaces=False,
+                )
+
+        # --- fluid -----------------------------------------------------------
         mode = s.fluid_mode
         if positions is not None and len(positions) and mode != FluidRenderingMode.NONE:
             if mode == FluidRenderingMode.SCREEN_SPACE_FLUID:
-                pdepth, _ = self._splat(positions, self.particle_radius * 1.6)
-                pdepth = self._depth_smooth(pdepth)
+                pdepth, _ = self._splat(positions, self.particle_radius)
+                pdepth = ssf.narrow_range_filter(pdepth, self.particle_radius)
                 thick = self._thickness(positions, self.particle_radius)
-                n = self._normals_from_depth(np.where(pdepth < _FAR, pdepth, 0.0))
-                lit = np.clip(n @ np.array([0.3, 0.8, 0.52]), 0.0, 1.0)
-                absorb = np.exp(-thick[..., None] * np.asarray([0.35, 0.14, 0.07]))
-                fresnel = np.clip(1.0 - n[..., 2], 0.0, 1.0) ** 2
-                fluid_rgb = (
-                    rgb * absorb
-                    + np.asarray(s.fluid_color) * (0.25 + 0.5 * lit[..., None]) * (1 - absorb)
-                    + 0.25 * fresnel[..., None]
+                thick = ssf.thickness_filter(thick)
+                rgb = ssf.compose(
+                    rgb, depth, pdepth, thick, self.camera, s.grid_to_world_scale
                 )
-                m = (pdepth < depth) & (pdepth < _FAR)
-                rgb = np.where(m[..., None], fluid_rgb, rgb)
+                m = (pdepth < depth) & (thick > 0.0)
                 depth = np.where(m, pdepth, depth)
             else:
                 if mode == FluidRenderingMode.PARTICLES_VELOCITY and velocities is not None:
                     vmag = np.linalg.norm(velocities, axis=-1)
-                    colors = self._heatmap(vmag / s.velocity_viz_scale)
+                    colors = self._heatmap(vmag * s.velocity_viz_scale)
                 else:
                     idx = np.arange(len(positions))
                     colors = self._heatmap((idx % 4096) / 4096.0)
                 pdepth, winner = self._splat(positions, self.particle_radius, values=colors)
                 n = self._normals_from_depth(np.where(pdepth < _FAR, pdepth, 0.0))
-                lit = 0.35 + 0.65 * np.clip(n @ np.array([0.3, 0.8, 0.52]), 0.0, 1.0)
+                n_grid = self._screen_normals_to_grid(n)
+                lit = shade_surface(n_grid, np.pi)  # albedo pi -> unit brdf
                 pcol = np.where(
-                    (winner >= 0)[..., None], colors[np.maximum(winner, 0)] * lit[..., None], 0.0
+                    (winner >= 0)[..., None],
+                    colors[np.maximum(winner, 0)] * np.clip(lit, 0.0, 2.0),
+                    0.0,
                 )
                 m = (pdepth < depth) & (winner >= 0)
                 rgb = np.where(m[..., None], pcol, rgb)
                 depth = np.where(m, pdepth, depth)
 
-        if field is not None and s.volume_mode != VolumeVisualizationMode.NONE:
+        # --- volume visualization ---------------------------------------------
+        if s.volume_mode == VolumeVisualizationMode.VELOCITY and velocity_grid is not None:
+            if marker is None:
+                from ..core.types import CELL_FLUID
+
+                marker = np.full(velocity_grid.shape[:3], CELL_FLUID, np.int8)
+            p0, p1, cols = velocity_lines(
+                np.asarray(velocity_grid), np.asarray(marker), s.velocity_viz_scale
+            )
+            draw_lines(rgb, depth, self.camera, p0, p1, cols)
+        elif field is not None and s.volume_mode not in (
+            VolumeVisualizationMode.NONE,
+            VolumeVisualizationMode.VELOCITY,
+        ):
             rgb = self._draw_volume(rgb, depth, field, field_is_vector)
 
-        return (np.clip(rgb, 0.0, 1.0) * 255).astype(np.uint8)
+        # --- domain bounds (StaticLineRenderer) --------------------------------
+        if s.show_bounds_box:
+            p0, p1, cols = domain_bounds_lines(self.grid_dim)
+            draw_lines(rgb, depth, self.camera, p0, p1, cols)
+
+        return (tonemap(rgb) * 255).astype(np.uint8)
 
     def _draw_volume(self, rgb, depth, field, is_vector) -> np.ndarray:
-        """Value-scaled billboards at cell centers (volume_renderer.rs)."""
-        mag = np.linalg.norm(field, axis=-1) if is_vector else np.abs(field)
-        top = np.percentile(mag[mag > 0], 99.0) if (mag > 0).any() else 1.0
-        sel = mag > max(top * 0.05, 1e-12)
+        """SIGNED value billboards at cell centers
+        (volume_visualization_with_billboards.vert:39-99): radius = |scale|*0.5
+        cells, color cool-to-warm of the signed value; NaN guard built in."""
+        s = self.settings
+        val = np.linalg.norm(field, axis=-1) if is_vector else np.asarray(field, np.float32)
+        val = np.where(np.isfinite(val), val, 0.0)
+        if s.volume_mode == VolumeVisualizationMode.MARKER:
+            from ..core.types import CELL_AIR, CELL_FLUID, CELL_SOLID
+
+            scale = np.where(val == CELL_AIR, 0.0, 1.0)
+            colors_full = np.zeros(val.shape + (3,), np.float32)
+            colors_full[val == CELL_FLUID] = (0.0, 0.0, 1.0)
+        else:
+            top = np.percentile(np.abs(val)[val != 0], 99.0) if (val != 0).any() else 1.0
+            signed = np.clip(val / max(top, 1e-12), -1.0, 1.0)
+            scale = np.abs(signed)
+            colors_full = colormap_cool_to_warm(signed)
+        sel = scale > 0.02
         if not sel.any():
             return rgb
         cells = np.argwhere(sel).astype(np.float32) + 0.5
-        vals = mag[sel] / max(top, 1e-12)
-        colors = self._heatmap(vals)
-        pdepth, winner = self._splat(cells, 0.4, values=colors)
+        colors = colors_full[sel]
+        radii = (scale[sel] * 0.5).astype(np.float32)
+        pdepth, winner = self._splat(cells, radii, values=colors)
         m = (pdepth < depth) & (winner >= 0)
         out = np.where(m[..., None], colors[np.maximum(winner, 0)], rgb)
         return out
