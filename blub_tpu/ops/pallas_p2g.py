@@ -183,14 +183,18 @@ def p2g_accumulate(
     )(data)
 
 
-def _pick_blocks(x: int, y: int, zp: int, k: int, budget_bytes: int = 16 << 20):
-    """(bx, by) with the halo window inside the VMEM budget."""
+def _pick_blocks(x: int, y: int, zp: int, k: int, budget_bytes: int = 64 << 20):
+    """(bx, by) with the halo window inside the VMEM budget. Wide by is
+    preferred: the y halo parts are fixed 8-wide (sublane alignment), so the
+    window read amplification is (by+16)/by."""
     assert y % 8 == 0, f"pallas p2g requires Y divisible by 8, got {y}"
-    by = 8
-    for bx in (8, 4, 2, 1):
-        if x % bx == 0 and k * NUM_CH * (bx + 2) * (by + 2 * _YH) * zp * 4 <= budget_bytes:
-            return bx, by
-    return 1, by
+    for by in (32, 16, 8):
+        if y % by:
+            continue
+        for bx in (8, 4, 2, 1):
+            if x % bx == 0 and k * NUM_CH * (bx + 2) * (by + 2 * _YH) * zp * 4 <= budget_bytes:
+                return bx, by
+    return 1, 8
 
 
 def _as_slot_major(table) -> SlotMajorTable:
@@ -213,8 +217,7 @@ def supports(grid_dim, capacity: int) -> bool:
     if y % 8:
         return False
     zp = max(128, -(-z // 128) * 128)
-    budget = 16 << 20
-    return capacity * NUM_CH * 3 * (8 + 2 * _YH) * zp * 4 <= budget
+    return capacity * NUM_CH * 3 * (8 + 2 * _YH) * zp * 4 <= (64 << 20)
 
 
 def p2g_velocity_density_pallas(

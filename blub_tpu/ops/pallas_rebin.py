@@ -296,18 +296,28 @@ def _rebin_stage(
     )(data)
 
 
-def _pick_bx(axis: int, k_in: int, k_out: int, X: int, s: int, Zp: int, budget: int):
-    """Largest bx (divisor of X, >= s) whose window + out block fit in VMEM."""
-    for bx in (16, 8, 4, 2):
-        if bx < s or X % bx:
+def _pick_blocks(axis: int, k_in: int, k_out: int, X: int, Y: int, s: int, Zp: int, budget: int):
+    """(bx, by) whose window + out block fit in VMEM. The y stage prefers a
+    WIDE by: its halo parts are fixed at 8 rows (sublane alignment), so the
+    window read amplification is (by+16)/by — 3x at by=8, 1.5x at by=32."""
+    by_options = (32, 16, 8) if axis == 1 else (8,)
+    for by in by_options:
+        if Y % by:
             continue
-        wx = bx + 2 * s if axis == 0 else bx
-        wy = 8 + 2 * _YH if axis == 1 else 8
-        win = k_in * NUM_CH * wx * wy * Zp * 4
-        out = k_out * NUM_CH * bx * 8 * Zp * 4
-        if win + out <= budget:
-            return bx
+        for bx in (16, 8, 4, 2):
+            if bx < s or X % bx:
+                continue
+            wx = bx + 2 * s if axis == 0 else bx
+            wy = by + 2 * _YH if axis == 1 else by
+            win = k_in * NUM_CH * wx * wy * Zp * 4
+            out = k_out * NUM_CH * bx * by * Zp * 4
+            if win + out <= budget:
+                return bx, by
     return None
+
+
+_BUDGET = 26 << 20  # window + out block; Mosaic pack temporaries ride on top
+                    # within the 100MB vmem limit
 
 
 def supports(grid_dim, capacity: int, max_shift: int) -> bool:
@@ -316,11 +326,10 @@ def supports(grid_dim, capacity: int, max_shift: int) -> bool:
     if Y % 8 or max_shift > _YH:
         return False
     zp = max(128, -(-Z // 128) * 128)
-    budget = 10 << 20
     for axis in range(3):
         k_in = capacity + 4 if axis else capacity
         k_out = capacity + 4 if axis < 2 else capacity
-        if _pick_bx(axis, k_in, k_out, X, max_shift, zp, budget) is None:
+        if _pick_blocks(axis, k_in, k_out, X, Y, max_shift, zp, _BUDGET) is None:
             return False
     return True
 
@@ -335,16 +344,18 @@ def rebin_slot_major(
     X, Y, Z = sm.grid_dim
     data = sm.data
     k = data.shape[0]
-    budget = 10 << 20
     before = jnp.sum(data[:, CH_VALID] > 0.5)
     for axis in range(3):
         k_out = k + slack if axis < 2 else k
-        bx = _pick_bx(axis, data.shape[0], k_out, X, max_shift, data.shape[4], budget)
-        assert bx is not None, "caller must gate on supports()"
+        blocks = _pick_blocks(
+            axis, data.shape[0], k_out, X, Y, max_shift, data.shape[4], _BUDGET
+        )
+        assert blocks is not None, "caller must gate on supports()"
+        bx, by = blocks
         data = _rebin_stage(
             data,
             axis=axis, s=max_shift, k_out=k_out, dim_a=sm.grid_dim[axis],
-            bx=bx, by=8, interpret=interpret,
+            bx=bx, by=by, interpret=interpret,
         )
     after = jnp.sum(data[:, CH_VALID] > 0.5)
     lost = sm.lost + (before - after).astype(jnp.int32)
