@@ -201,6 +201,7 @@ def _step_slot_major(
     the particle table stays resident in slot-major layout and every
     table-heavy phase is a kernel (P2G, both rebins) or a slot-major XLA port
     (marker, advect, correct) — zero layout conversions per step."""
+    from ..ops import pallas_pcg
     from ..ops.pallas_advect import advect_sm_pallas, correct_sm_pallas
     from ..ops.pallas_p2g import p2g_density_pallas, p2g_velocity_density_pallas
     from ..ops.pallas_rebin import rebin_slot_major
@@ -208,6 +209,12 @@ def _step_slot_major(
     from .sm_phases import marker_from_slot_major
 
     interp = _interpret_kernels()
+    # whole-solve VMEM PCG on real TPUs when the grid fits (the CPU/interpret
+    # path keeps the XLA oracle; kernel equivalence: tests/test_pcg_pallas.py)
+    if not interp and pallas_pcg.supports(params.grid_dim):
+        solve = pallas_pcg.solve_pressure_pallas
+    else:
+        solve = solve_pressure
     table: SlotMajorTable = state.table
     occupancy = solids.occupancy if solids is not None else None
     solid_vel = solids.velocity if solids is not None else None
@@ -221,7 +228,7 @@ def _step_slot_major(
     rhs = compute_divergence_rhs(vel, marker, solid_vel)
 
     # --- pressure projection (velocity) --------------------------------------
-    res_vel = solve_pressure(state.pressure_vel, rhs, marker, params.solver_vel, dt)
+    res_vel = solve(state.pressure_vel, rhs, marker, params.solver_vel, dt)
     vel = remove_divergence(vel, res_vel.pressure, marker, solid_vel)
     vel = extrapolate_velocity(vel, marker)
 
@@ -233,7 +240,7 @@ def _step_slot_major(
     marker2 = marker_from_slot_major(table, occupancy)
     raw_density = p2g_density_pallas(table, interpret=interp)
     den_rhs = density_rhs_from_raw(raw_density, marker2, dt)
-    res_den = solve_pressure(state.pressure_den, den_rhs, marker2, params.solver_den, dt)
+    res_den = solve(state.pressure_den, den_rhs, marker2, params.solver_den, dt)
 
     change = position_change_field(res_den.pressure, marker2, dt)
     change = extrapolate_velocity(change, marker2)
