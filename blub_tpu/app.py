@@ -74,7 +74,7 @@ def _draw(scene, renderer):
     ):
         t = scene.total_simulated_time
         solid_meshes = [
-            (o.mesh_at(t), o.mesh_faces)
+            (o.mesh_at(t), o.mesh_faces, o.mesh_albedo)
             for o in scene.solid_objects
             if o.mesh_verts is not None
         ]

@@ -40,14 +40,30 @@ def load_obj(path: pathlib.Path) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Minimal OBJ parser (v / f lines, fan-triangulated). Returns
     (verts f32[V,3], tris i32[T,3]) or None if the file is unusable (e.g. a
     git-lfs pointer, which is what the reference repo ships for its models)."""
+    full = load_obj_materials(path)
+    if full is None:
+        return None
+    return full[0], full[1]
+
+
+def load_obj_materials(
+    path: pathlib.Path,
+) -> Optional[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
+    """OBJ parser with per-material splits (the reference loads per-material
+    mesh ranges + diffuse textures, models.rs:184-224; textures reduce to the
+    material's diffuse Kd color here). Returns (verts f32[V,3], tris i32[T,3],
+    face_albedo f32[T,3] or None when the file has no usable materials)."""
     try:
         text = path.read_text(errors="ignore")
     except OSError:
         return None
     if text.startswith("version https://git-lfs"):
         return None
+    materials: dict = {}
     verts: List[Tuple[float, float, float]] = []
     tris: List[Tuple[int, int, int]] = []
+    tri_mtl: List[Optional[str]] = []
+    current = None
     for line in text.splitlines():
         parts = line.split()
         if not parts:
@@ -59,9 +75,37 @@ def load_obj(path: pathlib.Path) -> Optional[Tuple[np.ndarray, np.ndarray]]:
             idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
             for k in range(1, len(idx) - 1):
                 tris.append((idx[0], idx[k], idx[k + 1]))
+                tri_mtl.append(current)
+        elif parts[0] == "usemtl" and len(parts) >= 2:
+            current = parts[1]
+        elif parts[0] == "mtllib" and len(parts) >= 2:
+            materials.update(_load_mtl(path.parent / parts[1]))
     if not verts or not tris:
         return None
-    return np.asarray(verts, np.float32), np.asarray(tris, np.int32)
+    albedo = None
+    if materials and any(m in materials for m in tri_mtl):
+        albedo = np.asarray(
+            [materials.get(m, (1.0, 1.0, 1.0)) for m in tri_mtl], np.float32
+        )
+    return np.asarray(verts, np.float32), np.asarray(tris, np.int32), albedo
+
+
+def _load_mtl(path: pathlib.Path) -> dict:
+    """name -> diffuse Kd color from a .mtl file (missing file -> {})."""
+    try:
+        text = path.read_text(errors="ignore")
+    except OSError:
+        return {}
+    out, current = {}, None
+    for line in text.splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "newmtl" and len(parts) >= 2:
+            current = parts[1]
+        elif parts[0] == "Kd" and current and len(parts) >= 4:
+            out[current] = (float(parts[1]), float(parts[2]), float(parts[3]))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -209,13 +253,18 @@ class SolidObject:
     # MeshRenderer analog; None when no geometry is available.
     mesh_verts: Optional[np.ndarray] = None  # f32[N,3]
     mesh_faces: Optional[np.ndarray] = None  # i32[M,3]
+    mesh_albedo: Optional[np.ndarray] = None  # f32[M,3] per-face Kd, or None
+    # set when the real model asset was unavailable (git-lfs pointer) and a
+    # procedural stand-in with a comparable silhouette was substituted — the
+    # scene's physics differs from the reference's real mesh
+    standin: Optional[str] = None
 
     def mesh_at(self, t: float) -> Optional[np.ndarray]:
         """Mesh vertices at animation time t, in GRID space (mesh.vert's
-        WorldTransform, models.rs world = T(pos) S(scale) R local)."""
+        WorldTransform, models.rs world = T(pos(t)) S(scale) R(t) local)."""
         if self.mesh_verts is None:
             return None
-        rot = _euler_matrix(self.config.rotation_angles)
+        rot = self.rotation_at(t)
         world = (
             self.world_position_at(t)
             + self.config.scale * (self.mesh_verts.astype(np.float64) @ rot.T)
@@ -242,6 +291,41 @@ class SolidObject:
         """Translation since the reference pose, in voxel units."""
         return (self.world_position_at(t) - np.asarray(self.config.world_position)) / self.grid_scale
 
+    @property
+    def has_runtime_rotation(self) -> bool:
+        rot = self.config.animation.rotation if self.config.animation else None
+        return rot is not None and abs(rot.deg_per_sec) > 1e-12
+
+    def rotation_at(self, t: float) -> np.ndarray:
+        """R_total(t) = R_static * AxisAngle(omega * t) — the reference's
+        rotation_at_time (models.rs:172-181), as a 3x3 matrix."""
+        r_static = _euler_matrix(self.config.rotation_angles)
+        rot = self.config.animation.rotation if self.config.animation else None
+        if rot is None:
+            return r_static
+        axis = np.asarray(rot.axis, np.float64)
+        axis = axis / max(np.linalg.norm(axis), 1e-9)
+        return r_static @ _axis_angle_matrix(axis, math.radians(rot.deg_per_sec) * t)
+
+    def resample_rotation_at(self, t: float) -> np.ndarray:
+        """Q(t) = R_static * R_anim(t)^-1 * R_static^-1: maps (v - origin_v(t))
+        in fluid voxel space to the reference-pose offset for reading the
+        baked SDF (sim/voxelize.py::resample_sdf_rotated)."""
+        r_static = _euler_matrix(self.config.rotation_angles)
+        rot = self.config.animation.rotation if self.config.animation else None
+        if rot is None:
+            return np.eye(3)
+        axis = np.asarray(rot.axis, np.float64)
+        axis = axis / max(np.linalg.norm(axis), 1e-9)
+        r_anim = _axis_angle_matrix(axis, math.radians(rot.deg_per_sec) * t)
+        return r_static @ r_anim.T @ r_static.T
+
+    def origin_voxel_at(self, t: float) -> np.ndarray:
+        """Model origin (the rotation pivot) in fluid voxel coordinates."""
+        return (
+            self.world_position_at(t) - np.asarray(self.fluid_world_position)
+        ) / self.grid_scale
+
     def velocity_params_at(self, t: float, dt: float):
         """(v_trans_voxel f32[3], omega f32[3] rad/s, center_voxel f32[3]) —
         finite-difference translation velocity like models.rs:187-193."""
@@ -265,6 +349,14 @@ class SolidObject:
             omega.astype(np.float32),
             center_voxel.astype(np.float32),
         )
+
+
+def _axis_angle_matrix(axis: np.ndarray, angle_rad: float) -> np.ndarray:
+    """Rodrigues rotation matrix for a unit axis."""
+    c, s = math.cos(angle_rad), math.sin(angle_rad)
+    x, y, z = axis
+    k = np.array([[0, -z, y], [z, 0, -x], [-y, x, 0]], np.float64)
+    return np.eye(3) + s * k + (1 - c) * (k @ k)
 
 
 def _euler_matrix(angles_deg) -> np.ndarray:
@@ -315,24 +407,40 @@ def build_solid_objects(scene: SceneConfig, models_dir: pathlib.Path | None = No
         local = ((world - np.asarray(cfg.world_position)) / cfg.scale) @ rot  # R^-1 = R^T
         local = local.astype(np.float32)
 
-        geom = load_obj(models_dir / cfg.model)
+        geom = load_obj_materials(models_dir / cfg.model)
+        standin = None
+        mesh_albedo = None
         if geom is not None:
             sdf_local = mesh_sdf(geom[0], geom[1], local)
-            mesh_verts, mesh_faces = geom
+            mesh_verts, mesh_faces, mesh_albedo = geom
         else:
-            from ..render.mesh import cube_mesh, icosphere_mesh
+            from ..render.mesh import cube_mesh
 
             name = str(cfg.model).lower()
             if "cube" in name:
                 sdf_local = box_sdf(local, (0, 0, 0), (1, 1, 1))
                 mesh_verts, mesh_faces = cube_mesh()
             else:
+                # procedural stand-in with a comparable silhouette, baked via
+                # the SAME mesh_sdf path so physics and rendering agree
+                if "bunny" in name:
+                    mesh_verts, mesh_faces = procedural_bunny()
+                    standin = "bunny"
+                elif "wgpu" in name or "logo" in name:
+                    mesh_verts, mesh_faces = procedural_logo()
+                    standin = "logo"
+                else:
+                    from ..render.mesh import icosphere_mesh
+
+                    mesh_verts, mesh_faces = icosphere_mesh(2)
+                    standin = "sphere"
                 log.warning(
-                    "model %s unavailable (git-lfs pointer?); using procedural sphere stand-in",
-                    cfg.model,
+                    "model %s unavailable (git-lfs pointer?); substituting the "
+                    "procedural '%s' stand-in — this scene's physics differs "
+                    "from the reference's real mesh",
+                    cfg.model, standin,
                 )
-                sdf_local = sphere_sdf(local, (0.5, 0.5, 0.5), 0.5)
-                mesh_verts, mesh_faces = icosphere_mesh(2)
+                sdf_local = mesh_sdf(mesh_verts, mesh_faces, local)
         # convert local-space distance to voxel units (uniform scale)
         sdf = (sdf_local * (cfg.scale / s_g)).reshape(shape).astype(np.float32)
         out.append(
@@ -344,9 +452,68 @@ def build_solid_objects(scene: SceneConfig, models_dir: pathlib.Path | None = No
                 fluid_world_position=scene.fluid.world_position,
                 mesh_verts=np.asarray(mesh_verts, np.float32),
                 mesh_faces=np.asarray(mesh_faces, np.int32),
+                mesh_albedo=mesh_albedo,
+                standin=standin,
             )
         )
     return out
+
+
+def _placed(mesh, scale, center) -> Tuple[np.ndarray, np.ndarray]:
+    v, f = mesh
+    return (np.asarray(v, np.float64) - 0.5) * np.asarray(scale) + np.asarray(center), f
+
+
+def _union(parts) -> Tuple[np.ndarray, np.ndarray]:
+    verts, faces, base = [], [], 0
+    for v, f in parts:
+        verts.append(np.asarray(v, np.float32))
+        faces.append(np.asarray(f, np.int32) + base)
+        base += len(v)
+    return np.concatenate(verts), np.concatenate(faces)
+
+
+def procedural_bunny() -> Tuple[np.ndarray, np.ndarray]:
+    """Low-poly bunny-silhouette stand-in for the lfs-pointer bunny.obj
+    (VERDICT.md missing #6): body + head + two ears + tail as placed
+    icospheres, in the model-local [0,1]^3 box."""
+    from ..render.mesh import icosphere_mesh
+
+    s = icosphere_mesh(1)
+    return _union(
+        [
+            _placed(s, (0.56, 0.52, 0.70), (0.50, 0.30, 0.45)),  # body
+            _placed(s, (0.34, 0.34, 0.34), (0.50, 0.62, 0.72)),  # head
+            _placed(s, (0.12, 0.34, 0.14), (0.42, 0.86, 0.62)),  # ear L
+            _placed(s, (0.12, 0.34, 0.14), (0.58, 0.86, 0.62)),  # ear R
+            _placed(s, (0.16, 0.16, 0.16), (0.50, 0.28, 0.06)),  # tail
+        ]
+    )
+
+
+def procedural_logo() -> Tuple[np.ndarray, np.ndarray]:
+    """Extruded chevron-glyph stand-in for the lfs-pointer wgpu-logo.obj:
+    two slanted bars forming a 'Λ' plus a center bar, in [0,1]^3."""
+    from ..render.mesh import cube_mesh
+
+    c = cube_mesh()
+
+    def slanted(center, angle_deg):
+        v, f = _placed(c, (0.16, 0.62, 0.22), center)
+        a = math.radians(angle_deg)
+        rot = np.array(
+            [[math.cos(a), -math.sin(a), 0], [math.sin(a), math.cos(a), 0], [0, 0, 1]]
+        )
+        pivot = np.asarray(center)
+        return (v - pivot) @ rot.T + pivot, f
+
+    return _union(
+        [
+            slanted((0.30, 0.45, 0.5), -28.0),
+            slanted((0.70, 0.45, 0.5), 28.0),
+            _placed(c, (0.16, 0.40, 0.22), (0.50, 0.62, 0.5)),
+        ]
+    )
 
 
 def _anim_period(cfg: StaticObjectConfig) -> float:

@@ -260,8 +260,10 @@ class SceneRenderer:
 
         # --- solids (MeshRenderer / VoxelRenderer) ---------------------------
         if s.show_solid_meshes and solid_meshes:
-            for verts, faces in solid_meshes:
-                rasterize_mesh(rgb, depth, self.camera, verts, faces, albedo=1.0)
+            for entry in solid_meshes:
+                verts, faces = entry[0], entry[1]
+                albedo = entry[2] if len(entry) > 2 and entry[2] is not None else 1.0
+                rasterize_mesh(rgb, depth, self.camera, verts, faces, albedo=albedo)
         if s.show_voxel_debug and solid_occupancy is not None:
             verts, faces, cells = voxel_surface_mesh(np.asarray(solid_occupancy))
             if len(faces):

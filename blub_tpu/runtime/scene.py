@@ -27,7 +27,7 @@ from ..sim.step_dense import (
     make_dense_state,
     step_dense,
 )
-from ..sim.voxelize import solid_params_at, voxelize_step
+from ..sim.voxelize import rotating_flags, solid_params_at, voxelize_step
 
 
 class Scene:
@@ -43,6 +43,17 @@ class Scene:
         self.capacity = capacity
         self._models_dir = models_dir
         self.solid_objects: List[SolidObject] = build_solid_objects(self.config, models_dir)
+        standins = [o for o in self.solid_objects if o.standin]
+        if standins:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "scene %s: %d solid model(s) are PROCEDURAL STAND-INS (%s) — "
+                "the real assets are git-lfs pointers; physics differs from "
+                "the reference scene",
+                self.config.name, len(standins),
+                ", ".join(f"{o.config.model}->{o.standin}" for o in standins),
+            )
         self._sdfs = [jnp.asarray(o.sdf) for o in self.solid_objects]
         self._pad_los = [o.pad_lo for o in self.solid_objects]
 
@@ -66,9 +77,10 @@ class Scene:
         grid_dim = params.grid_dim
         pad_los = tuple(self._pad_los)
         if self.solid_objects:
+            rot_flags = rotating_flags(self.solid_objects)
 
-            def _frame(state, sdfs, shifts_all, vts_all, oms_all, cts_all):
-                # *_all: [maxn, maxn, n_obj, 3] — entry [n-1, s] holds the
+            def _frame(state, sdfs, shifts_all, vts_all, oms_all, cts_all, qs_all, o0s_all):
+                # *_all: [maxn, maxn, n_obj, ...] — entry [n-1, s] holds the
                 # solid animation params for substep s of an n-way split.
                 dt = params.dt
                 if cfl > 0 and maxn > 1:
@@ -83,6 +95,8 @@ class Scene:
                     solids = voxelize_step(
                         sdfs, pad_los, shifts_all[n_sub - 1, i], vts_all[n_sub - 1, i],
                         oms_all[n_sub - 1, i], cts_all[n_sub - 1, i], grid_dim,
+                        rot_q=qs_all[n_sub - 1, i], origins0=o0s_all[n_sub - 1, i],
+                        rotating=rot_flags,
                     )
                     return step_dense(params, s, solids, dt=sub_dt)
 
@@ -101,11 +115,13 @@ class Scene:
 
     def _solid_params_stacked(self, dt: float, maxn: int):
         """Animation params for every possible substep split of this frame:
-        [maxn, maxn, n_obj, 3] arrays where [n-1, s] is substep s of an n-way
-        split (reference animates models to the post-step time, so substep s
-        of an n-split lands at t + (s+1)*dt/n)."""
+        [maxn, maxn, n_obj, ...] arrays where [n-1, s] is substep s of an
+        n-way split (reference animates models to the post-step time, so
+        substep s of an n-split lands at t + (s+1)*dt/n)."""
         n_obj = len(self.solid_objects)
         out = [np.zeros((maxn, maxn, n_obj, 3), np.float32) for _ in range(4)]
+        out.append(np.zeros((maxn, maxn, n_obj, 3, 3), np.float32))
+        out.append(np.zeros((maxn, maxn, n_obj, 3), np.float32))
         for n in range(1, maxn + 1):
             sub_dt = dt / n
             for s in range(n):
@@ -134,10 +150,14 @@ class Scene:
         if not self.solid_objects:
             return None
         t = self.total_simulated_time + self.settings.dt
-        shifts, vts, oms, cts = solid_params_at(self.solid_objects, t, self.settings.dt)
+        shifts, vts, oms, cts, qs, o0s = solid_params_at(
+            self.solid_objects, t, self.settings.dt
+        )
         return voxelize_step(
             self._sdfs, tuple(self._pad_los), jnp.asarray(shifts), jnp.asarray(vts),
-            jnp.asarray(oms), jnp.asarray(cts), self.params.grid_dim
+            jnp.asarray(oms), jnp.asarray(cts), self.params.grid_dim,
+            rot_q=jnp.asarray(qs), origins0=jnp.asarray(o0s),
+            rotating=rotating_flags(self.solid_objects),
         )
 
     def reset(self) -> None:

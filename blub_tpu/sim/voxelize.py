@@ -15,9 +15,12 @@ which is strictly more correct for the pressure solve). The solid velocity is
 the rigid-body field v_trans + omega x r evaluated densely at cell centers
 (voxelize/conservative_hull.frag:17-23).
 
-Runtime *rotation* animation is not in the fast path: occupancy uses the
-static-rotation bake (the only reference scene with runtime rotation is
-disabled there too); the omega x r velocity term is still applied.
+Runtime *rotation* animation resamples the same bake at ROTATED coordinates
+(trilinear map_coordinates gather about the model origin, matching the
+reference's R_static * axis-angle(omega*t) pose, models.rs:172-181). Gathers
+are slow on TPU, so this path engages per object only when the scene animates
+a rotation (one reference scene, disabled there too); translation-only
+objects keep the gather-free dynamic-slice path.
 """
 
 from __future__ import annotations
@@ -62,6 +65,32 @@ def resample_sdf(
     return out
 
 
+def resample_sdf_rotated(
+    baked: jax.Array,
+    pad_lo: Tuple[int, int, int],
+    q_mat: jax.Array,  # f32[3,3]: R_static R_anim^-1 R_static^-1
+    origin_v: jax.Array,  # f32[3]: model origin in fluid voxel coords at t
+    origin0_v: jax.Array,  # f32[3]: model origin at the reference pose
+    grid_dim: Tuple[int, int, int],
+) -> jax.Array:
+    """field[v] = baked_sdf at the reference-pose coordinate of voxel center v
+    under the animated rotation: u = origin0 + Q (v - origin(t)), read at
+    baked index u + pad_lo - 0.5 (trilinear; out of range -> far outside)."""
+    from jax.scipy.ndimage import map_coordinates
+
+    centers = jnp.stack(
+        [jax.lax.broadcasted_iota(jnp.float32, grid_dim, a) + 0.5 for a in range(3)],
+        axis=-1,
+    )
+    rel = centers - origin_v
+    u = origin0_v + jnp.einsum("ab,xyzb->xyza", q_mat, rel)
+    idx = u + jnp.asarray(pad_lo, jnp.float32) - 0.5
+    return map_coordinates(
+        baked, [idx[..., 0], idx[..., 1], idx[..., 2]], order=1,
+        mode="constant", cval=1e6,
+    )
+
+
 def rigid_velocity_field(
     grid_dim: Tuple[int, int, int], v_trans: jax.Array, omega: jax.Array, center: jax.Array
 ) -> jax.Array:
@@ -83,13 +112,22 @@ def voxelize_step(
     omegas: jax.Array,  # f32[n_obj, 3]
     centers: jax.Array,  # f32[n_obj, 3]
     grid_dim: Tuple[int, int, int],
+    rot_q: jax.Array | None = None,  # f32[n_obj, 3, 3]
+    origins0: jax.Array | None = None,  # f32[n_obj, 3]
+    rotating: Tuple[bool, ...] = (),  # static per-object flags
 ) -> SolidState:
     """Combine all objects into one SolidState (later objects overwrite solid
-    velocity where they overlap, like the reference's sequential raster)."""
+    velocity where they overlap, like the reference's sequential raster).
+    Objects flagged in ``rotating`` use the rotated gather resample."""
     occupancy = jnp.zeros(grid_dim, jnp.float32)
     velocity = jnp.zeros(grid_dim + (3,), jnp.float32)
     for i, (baked, pad_lo) in enumerate(zip(sdfs, pad_los)):
-        field = resample_sdf(baked, pad_lo, shifts[i], grid_dim)
+        if i < len(rotating) and rotating[i]:
+            field = resample_sdf_rotated(
+                baked, pad_lo, rot_q[i], centers[i], origins0[i], grid_dim
+            )
+        else:
+            field = resample_sdf(baked, pad_lo, shifts[i], grid_dim)
         occ_i = field <= OCC_ISO
         vel_i = rigid_velocity_field(grid_dim, v_trans[i], omegas[i], centers[i])
         occupancy = jnp.where(occ_i, 1.0, occupancy)
@@ -98,17 +136,27 @@ def voxelize_step(
 
 
 def solid_params_at(objects: List[SolidObject], t: float, dt: float):
-    """Host-side per-step parameters for voxelize_step (all f32[n,3])."""
-    shifts, vts, oms, cts = [], [], [], []
+    """Host-side per-step parameters for voxelize_step:
+    (shifts, v_trans, omegas, centers, rot_q, origins0) — the first four
+    f32[n,3], rot_q f32[n,3,3], origins0 f32[n,3]."""
+    shifts, vts, oms, cts, qs, o0s = [], [], [], [], [], []
     for obj in objects:
         shifts.append(obj.voxel_shift_at(t))
         vt, om, ct = obj.velocity_params_at(t, dt)
         vts.append(vt)
         oms.append(om)
         cts.append(ct)
+        qs.append(obj.resample_rotation_at(t))
+        o0s.append(obj.origin_voxel_at(0.0))
     return (
         np.asarray(shifts, np.float32),
         np.asarray(vts, np.float32),
         np.asarray(oms, np.float32),
         np.asarray(cts, np.float32),
+        np.asarray(qs, np.float32),
+        np.asarray(o0s, np.float32),
     )
+
+
+def rotating_flags(objects: List[SolidObject]) -> Tuple[bool, ...]:
+    return tuple(o.has_runtime_rotation for o in objects)

@@ -79,7 +79,7 @@ def test_bake_and_voxelize_static():
     assert len(objs) == 1
     sdfs = [jnp.asarray(o.sdf) for o in objs]
     pads = [o.pad_lo for o in objs]
-    shifts, vts, oms, cts = solid_params_at(objs, 0.0, 1 / 120)
+    shifts, vts, oms, cts, _, _ = solid_params_at(objs, 0.0, 1 / 120)
     solids = voxelize_step(sdfs, pads, jnp.asarray(shifts), jnp.asarray(vts),
                            jnp.asarray(oms), jnp.asarray(cts), cfg.fluid.grid_dimension)
     occ = np.asarray(solids.occupancy)
@@ -94,7 +94,7 @@ def test_voxelize_animated_entry_and_velocity():
     pads = [o.pad_lo for o in objs]
     # mid-animation: piston has moved 6 voxels left (x0=24 -> 18)
     t = 0.1
-    shifts, vts, oms, cts = solid_params_at(objs, t, 1 / 120)
+    shifts, vts, oms, cts, _, _ = solid_params_at(objs, t, 1 / 120)
     solids = voxelize_step(sdfs, pads, jnp.asarray(shifts), jnp.asarray(vts),
                            jnp.asarray(oms), jnp.asarray(cts), cfg.fluid.grid_dimension)
     occ = np.asarray(solids.occupancy)
@@ -105,7 +105,7 @@ def test_voxelize_animated_entry_and_velocity():
     vx = vel[..., 0][occ > 0]
     np.testing.assert_allclose(vx, -60.0, rtol=1e-3)
     # ping-pong: at t = 1.5*duration it is halfway back, moving +x
-    shifts2, vts2, _, _ = solid_params_at(objs, 0.3, 1 / 120)
+    shifts2, vts2 = solid_params_at(objs, 0.3, 1 / 120)[:2]
     assert shifts2[0][0] > shifts[0][0] - 1e-5
     assert vts2[0][0] > 0
 
@@ -153,3 +153,123 @@ def test_scene_reset():
     scene.reset()
     np.testing.assert_array_equal(scene.particle_positions(), p0)
     assert scene.total_simulated_time == 0.0
+
+
+def test_runtime_rotation_voxelization():
+    """A cube rotating 90 deg about +Y must reproduce the 90-deg STATIC bake
+    (runtime-rotation resample, models.rs:172-181 semantics): compare
+    occupancies of (a) animation rotation at t=quarter-turn and (b) the same
+    cube baked with static rotation_angles=(0,90,0)."""
+    import dataclasses as dc
+
+    from blub_tpu.core.config import load_scene
+    from blub_tpu.core.models import build_solid_objects
+    from blub_tpu.sim.voxelize import rotating_flags, solid_params_at, voxelize_step
+
+    G = (32, 16, 16)
+
+    def scene_with(obj_json):
+        import json, tempfile, pathlib
+
+        cfg = {
+            "gravity": {"x": 0, "y": -9.81, "z": 0},
+            "fluid": {
+                "world_position": {"x": 0, "y": 0, "z": 0},
+                "max_num_particles": 8,
+                "grid_to_world_scale": 0.01,
+                "grid_dimension": {"x": G[0], "y": G[1], "z": G[2]},
+                "fluid_cubes": [],
+            },
+            "static_objects": [obj_json],
+        }
+        p = pathlib.Path(tempfile.mkdtemp()) / "s.json"
+        p.write_text(json.dumps(cfg))
+        return load_scene(p)
+
+    # an elongated box (cube model scaled) off-center about its origin, so the
+    # rotation visibly moves voxels
+    base = {
+        "model": "cube.obj",
+        "world_position": {"x": 0.12, "y": 0.06, "z": 0.08},
+        "scale": 0.07,
+        "rotation_angles": {"x": 0.0, "y": 0.0, "z": 0.0},
+    }
+    deg_per_sec = 90.0
+    t = 1.0  # quarter turn
+    rotating = dict(base)
+    rotating["animation"] = {
+        "rotation": {"axis": {"x": 0, "y": 1, "z": 0}, "deg_per_sec": deg_per_sec}
+    }
+    static_rotated = dict(base)
+    static_rotated["rotation_angles"] = {"x": 0.0, "y": deg_per_sec * t, "z": 0.0}
+
+    def occupancy(scene_cfg, t_query):
+        objs = build_solid_objects(scene_cfg)
+        sdfs = [jnp.asarray(o.sdf) for o in objs]
+        pads = tuple(o.pad_lo for o in objs)
+        shifts, vts, oms, cts, qs, o0s = solid_params_at(objs, t_query, 1 / 120)
+        return np.asarray(
+            voxelize_step(
+                sdfs, pads, jnp.asarray(shifts), jnp.asarray(vts), jnp.asarray(oms),
+                jnp.asarray(cts), G, rot_q=jnp.asarray(qs),
+                origins0=jnp.asarray(o0s), rotating=rotating_flags(objs),
+            ).occupancy
+        )
+
+    occ_anim = occupancy(scene_with(rotating), t)
+    occ_static = occupancy(scene_with(static_rotated), 0.0)
+    assert occ_anim.sum() > 50  # the solid exists
+    # trilinear resample vs fresh bake: allow a 1-voxel shell of disagreement
+    diff = np.abs(occ_anim - occ_static)
+    assert diff.mean() < 0.02, (occ_anim.sum(), occ_static.sum(), diff.sum())
+    # and WITHOUT the rotation flag the occupancy must differ materially
+    # (proves the flag engages the rotated path)
+    objs = build_solid_objects(scene_with(rotating))
+    sdfs = [jnp.asarray(o.sdf) for o in objs]
+    pads = tuple(o.pad_lo for o in objs)
+    shifts, vts, oms, cts, qs, o0s = solid_params_at(objs, t, 1 / 120)
+    occ_norot = np.asarray(
+        voxelize_step(
+            sdfs, pads, jnp.asarray(shifts), jnp.asarray(vts), jnp.asarray(oms),
+            jnp.asarray(cts), G,
+        ).occupancy
+    )
+    assert np.abs(occ_norot - occ_static).mean() > diff.mean()
+
+
+def test_procedural_standins_engage_for_lfs_models():
+    """dam_halfhalf_staticbunny ships a git-lfs pointer; the build must
+    substitute the bunny-silhouette stand-in (NOT a plain sphere), record it
+    on the object, and bake the SDF from the same mesh (VERDICT.md missing #6)."""
+    from blub_tpu.core.config import load_scene
+    from blub_tpu.core.models import build_solid_objects
+
+    cfg = load_scene("scenes/dam_halfhalf_staticbunny.json")
+    objs = build_solid_objects(cfg)
+    assert len(objs) == 1
+    o = objs[0]
+    assert o.standin == "bunny"
+    assert o.mesh_verts is not None and len(o.mesh_faces) > 100
+    assert (o.sdf < 0).any()  # the bake has an interior
+    # the bunny is taller than wide and has two separated ears near the top
+    v = o.mesh_verts
+    assert v[:, 1].max() - v[:, 1].min() > v[:, 0].max() - v[:, 0].min()
+
+
+def test_load_obj_materials_kd():
+    import pathlib
+    import tempfile
+
+    from blub_tpu.core.models import load_obj_materials
+
+    d = pathlib.Path(tempfile.mkdtemp())
+    (d / "m.mtl").write_text("newmtl red\nKd 1.0 0.0 0.0\nnewmtl blue\nKd 0.0 0.0 1.0\n")
+    (d / "m.obj").write_text(
+        "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
+        "usemtl red\nf 1 2 3\nusemtl blue\nf 1 3 4\nf 1 4 2\n"
+    )
+    verts, tris, albedo = load_obj_materials(d / "m.obj")
+    assert verts.shape == (4, 3) and tris.shape == (3, 3)
+    np.testing.assert_allclose(albedo[0], [1, 0, 0])
+    np.testing.assert_allclose(albedo[1], [0, 0, 1])
+    np.testing.assert_allclose(albedo[2], [0, 0, 1])
