@@ -93,8 +93,8 @@ class Dashboard:
                 else ""
             ),
             "",
-            "  [space] pause  [f] +1s  [r] reset  [s] screenshot  [q] quit",
-            "  [t/T] tolerance  [i/I] max iters  [c/C] check freq  [m] fluid mode  [v] volume mode",
+            "  [space] pause  [f] +1s  [r] reset  [s] screenshot  [n] next scene  [q] quit",
+            "  [t/T] tolerance  [i/I] max iters  [c/C] check freq  [m] fluid mode  [v] volume mode  [</>] time scale",
         ]
         if self._msg:
             lines.append(f"  \x1b[33m{self._msg}\x1b[0m")
@@ -152,7 +152,40 @@ class Dashboard:
             self._cycle_mode("fluid_mode")
         elif key == "v" and self.renderer is not None:
             self._cycle_mode("volume_mode")
+        elif key in "<>":
+            self.ctl.time_scale = max(
+                self.ctl.time_scale * (2.0 if key == ">" else 0.5), 1.0 / 64.0
+            )
+            self._msg = f"time scale -> {self.ctl.time_scale:g}x"
+        elif key == "n":
+            self._next_scene()
         return True
+
+    def _next_scene(self) -> None:
+        """Cycle to the next scene JSON (the reference GUI's scene selector,
+        gui/mod.rs:212-247)."""
+        from ..core.config import list_scenes
+        from ..runtime.scene import Scene
+
+        scenes = list_scenes()
+        if not scenes:
+            self._msg = "no scenes found"
+            return
+        cur = self.ctl.scene.config.name
+        names = [p.stem for p in scenes]
+        nxt = scenes[(names.index(cur) + 1) % len(scenes)] if cur in names else scenes[0]
+        old = self.ctl.scene
+        self.ctl.scene = Scene(nxt, settings=old.settings, capacity=old.capacity)
+        self.ctl.restart()
+        if self.renderer is not None:
+            from ..render.camera import Camera
+
+            self.renderer.grid_dim = self.ctl.scene.params.grid_dim
+            self.renderer.camera = Camera.framing(self.renderer.grid_dim)
+            self.renderer.settings.grid_to_world_scale = (
+                self.ctl.scene.config.fluid.grid_to_world_scale
+            )
+        self._msg = f"scene -> {self.ctl.scene.config.name} (compiles on first step)"
 
     def _cycle_mode(self, attr: str) -> None:
         s = self.renderer.settings
