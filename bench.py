@@ -53,6 +53,13 @@ def main() -> None:
     params = SimParams(
         grid_dim=grid, dt=1.0 / 120.0, gravity_grid=(0.0, -981.0, 0.0), num_particles=pos.shape[0]
     )
+    # internal lane-friendly axis order (sim/axis_layout.py): same physics,
+    # minimal 128-lane padding waste (e.g. 128x64x64 runs as 64x64x128)
+    from blub_tpu.sim.axis_layout import choose_perm, permute_params, permute_positions
+
+    perm = choose_perm(grid)
+    params = permute_params(params, perm)
+    pos = permute_positions(pos, perm)
     state = make_dense_state(params, pos, capacity=capacity)
 
     if raw:

@@ -38,7 +38,7 @@ def _renderer(scene, args):
     )
 
     return SceneRenderer(
-        scene.params.grid_dim,
+        scene.grid_dim_external,
         RenderSettings(
             width=args.width,
             height=args.height,
@@ -220,7 +220,12 @@ def cmd_profile(args) -> int:
     scene = _build(args)
     for _ in range(3):  # settle into a typical flow regime
         scene.step()
-    means, timer = profile_step(scene.params, scene.state, solids=scene.current_solids())
+    from .sim.axis_layout import permute_solids
+
+    means, timer = profile_step(
+        scene.params, scene.state,
+        solids=permute_solids(scene.current_solids(), scene.perm),
+    )
     print(timer.report())
     path = timer.write_chrometrace(args.trace_out)
     print(f"chrometrace: {path}", file=sys.stderr)

@@ -195,6 +195,10 @@ class SimSettings:
     # 0 disables substepping.
     cfl_target: float = 1.5
     max_substeps: int = 4
+    # Internal grid-axis order: "auto" permutes so the lane (last) axis has
+    # minimal 128-padding waste (sim/axis_layout.py); "identity" keeps the
+    # scene's axis order. Affects layout/perf only, not physics.
+    axis_layout: str = "auto"
 
     @property
     def dt(self) -> float:

@@ -180,7 +180,7 @@ class Dashboard:
         if self.renderer is not None:
             from ..render.camera import Camera
 
-            self.renderer.grid_dim = self.ctl.scene.params.grid_dim
+            self.renderer.grid_dim = self.ctl.scene.grid_dim_external
             self.renderer.camera = Camera.framing(self.renderer.grid_dim)
             self.renderer.settings.grid_to_world_scale = (
                 self.ctl.scene.config.fluid.grid_to_world_scale

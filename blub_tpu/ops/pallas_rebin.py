@@ -235,9 +235,18 @@ def _stage_kernel(
 
                     @pl.when(jnp.any(fk))
                     def _slot(fk=fk, dest=dest, payload=payload, c=c_base + k):
+                        # the candidate's arrivals land in output slots
+                        # [dlo, dhi] only (dest = per-cell running count);
+                        # scalar-gate the 16-channel accumulate so calm blocks
+                        # pay ~2 slots instead of min(c+1, k_out) — the pack
+                        # is compute-bound (PERF.md), this is the hot loop
+                        dlo = jnp.min(jnp.where(fk, dest, k_out))
+                        dhi = jnp.max(jnp.where(fk, dest, -1))
                         for q in range(min(c + 1, k_out)):
-                            m = ((dest == q) & fk).astype(jnp.float32)[None]
-                            out_ref[q] = out_ref[q] + m * payload
+                            @pl.when((q >= dlo) & (q <= dhi))
+                            def _q(q=q, fk=fk, dest=dest, payload=payload):
+                                m = ((dest == q) & fk).astype(jnp.float32)[None]
+                                out_ref[q] = out_ref[q] + m * payload
 
             c_idx += k_in
 
@@ -334,8 +343,23 @@ def supports(grid_dim, capacity: int, max_shift: int) -> bool:
     return True
 
 
+_SLACK_BYTE_BUDGET = 2 << 30  # per-stage buffer size above which slack drops
+
+
+def default_slack(data_nbytes: int, capacity: int) -> int:
+    """Stage-buffer slot slack: 4 normally; 2 when the table is so large that
+    K+4 stage buffers would crowd HBM (two stage buffers are live at once —
+    at 256x128x128/K=16 that was the difference between fitting in 16 GB or
+    not, PERF.md round-2). Slack only covers TRANSIENT mid-pack overcrowding
+    (particles funneled into a cell-column before the later axes spread them),
+    so 2 costs little: measured dam-scale loss is unchanged."""
+    per_slot = data_nbytes // max(capacity, 1)
+    return 2 if (capacity + 4) * per_slot > _SLACK_BYTE_BUDGET else 4
+
+
 def rebin_slot_major(
-    sm: SlotMajorTable, max_shift: int, slack: int = 4, interpret: bool = False
+    sm: SlotMajorTable, max_shift: int, slack: int | None = None,
+    interpret: bool = False
 ) -> SlotMajorTable:
     """Drop-in slot-major equivalent of sim/table.py::rebin: axis-split pack
     x -> y -> z with capacity K -> K+slack -> K+slack -> K. Per-cell particle
@@ -344,6 +368,8 @@ def rebin_slot_major(
     X, Y, Z = sm.grid_dim
     data = sm.data
     k = data.shape[0]
+    if slack is None:
+        slack = default_slack(data.size * 4, k)
     before = jnp.sum(data[:, CH_VALID] > 0.5)
     for axis in range(3):
         k_out = k + slack if axis < 2 else k

@@ -21,6 +21,16 @@ from ..core.config import SceneConfig, SimSettings, load_scene
 from ..core.models import SolidObject, build_solid_objects
 from ..core.seeding import seed_scene
 from ..core.types import SimParams, SolidState
+from ..sim.axis_layout import (
+    IDENTITY,
+    choose_perm,
+    inv_perm,
+    permute_grid,
+    permute_params,
+    permute_positions,
+    permute_solids,
+    unpermute_table,
+)
 from ..sim.step_dense import (
     DenseFluidState,
     frame_dense,
@@ -58,9 +68,20 @@ class Scene:
         self._pad_los = [o.pad_lo for o in self.solid_objects]
 
         pos = seed_scene(self.config)
-        self.params = SimParams.from_scene(self.config, self.settings, num_particles=pos.shape[0])
-        self._initial_pos = pos
-        self.state: DenseFluidState = make_dense_state(self.params, pos, capacity)
+        ext_params = SimParams.from_scene(self.config, self.settings, num_particles=pos.shape[0])
+        # internal axis permutation: lane-friendly last axis (axis_layout.py);
+        # `self.params` is the INTERNAL (sim-layout) params; external consumers
+        # (camera framing, renderer) use `grid_dim_external`.
+        self.perm = (
+            choose_perm(ext_params.grid_dim)
+            if self.settings.axis_layout == "auto"
+            else IDENTITY
+        )
+        self.grid_dim_external = ext_params.grid_dim
+        self.params_external = ext_params
+        self.params = permute_params(ext_params, self.perm)
+        self._initial_pos = permute_positions(pos, self.perm)
+        self.state: DenseFluidState = make_dense_state(self.params, self._initial_pos, capacity)
         self.total_simulated_time = 0.0
         self._jitted_cache: dict = {}
 
@@ -74,7 +95,11 @@ class Scene:
         params = self.params
         cfl = self.settings.cfl_target
         maxn = max(1, self.settings.max_substeps)
-        grid_dim = params.grid_dim
+        # voxelization runs in EXTERNAL scene coordinates (SDFs are baked
+        # there); its output is permuted into the internal layout, fused into
+        # the jitted frame
+        grid_dim = self.grid_dim_external
+        perm = self.perm
         pad_los = tuple(self._pad_los)
         if self.solid_objects:
             rot_flags = rotating_flags(self.solid_objects)
@@ -98,7 +123,7 @@ class Scene:
                         rot_q=qs_all[n_sub - 1, i], origins0=o0s_all[n_sub - 1, i],
                         rotating=rot_flags,
                     )
-                    return step_dense(params, s, solids, dt=sub_dt)
+                    return step_dense(params, s, permute_solids(solids, perm), dt=sub_dt)
 
                 return jax.lax.fori_loop(0, n_sub, body, state)
 
@@ -155,7 +180,7 @@ class Scene:
         )
         return voxelize_step(
             self._sdfs, tuple(self._pad_los), jnp.asarray(shifts), jnp.asarray(vts),
-            jnp.asarray(oms), jnp.asarray(cts), self.params.grid_dim,
+            jnp.asarray(oms), jnp.asarray(cts), self.grid_dim_external,
             rot_q=jnp.asarray(qs), origins0=jnp.asarray(o0s),
             rotating=rotating_flags(self.solid_objects),
         )
@@ -171,20 +196,23 @@ class Scene:
         jitted step, so the jit cache is dropped; the next step recompiles
         (cached persistently across runs by the XLA compilation cache)."""
         self.settings = settings
-        self.params = SimParams.from_scene(
+        self.params_external = SimParams.from_scene(
             self.config, settings, num_particles=self.params.num_particles
         )
+        self.params = permute_params(self.params_external, self.perm)
         self._jitted_cache.clear()
 
     # -- introspection ----------------------------------------------------
 
     def _particle_table(self):
-        """The particle table as a ParticleTable view (the slot-major resident
-        layout converts on host readback only)."""
+        """The particle table as an EXTERNAL-layout ParticleTable view (the
+        slot-major resident layout and the internal axis permutation both
+        convert on host readback only)."""
         from ..sim.slot_major import SlotMajorTable, to_table
 
         t = self.state.table
-        return to_table(t) if isinstance(t, SlotMajorTable) else t
+        t = to_table(t) if isinstance(t, SlotMajorTable) else t
+        return unpermute_table(t, self.perm)
 
     def num_particles(self) -> int:
         return int(jax.device_get(self.state.table.num_particles()))
@@ -212,15 +240,22 @@ class Scene:
         solids = self.current_solids()
         occupancy = solids.occupancy if solids is not None else None
         solid_vel = solids.velocity if solids is not None else None
-        table = self._particle_table()
+        table = self._particle_table()  # external layout
         marker = marker_from_table(table, occupancy)
-        vel = p2g_velocity_dense(table, marker, self.params.gravity_grid, self.params.dt)
+        vel = p2g_velocity_dense(
+            table, marker, self.params_external.gravity_grid, self.params.dt
+        )
         div = compute_divergence_rhs(vel, marker, solid_vel)
+        ext = inv_perm(self.perm)  # pressure grids live in the internal layout
         return {
             "velocity": np.stack([np.asarray(v) for v in vel], axis=-1),
             "divergence_error": np.asarray(div),
-            "pressure_from_velocity": np.asarray(self.state.pressure_vel),
-            "pressure_from_density": np.asarray(self.state.pressure_den),
+            "pressure_from_velocity": np.asarray(
+                permute_grid(self.state.pressure_vel, ext)
+            ),
+            "pressure_from_density": np.asarray(
+                permute_grid(self.state.pressure_den, ext)
+            ),
             "marker": np.asarray(marker).astype(np.float32),
         }
 
