@@ -33,7 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.types import CELL_SOLID
 from ..sim.dense_advect import MAX_ADVECT_MOVE, MAX_CORRECT_MOVE
-from ..sim.slot_major import NUM_CH, SlotMajorTable
+from ..sim.slot_major import (
+    CH_VALID,
+    NUM_DYN,
+    NUM_POSQ,
+    SlotMajorTable,
+    pack_pair,
+)
 
 _YH = 8  # y halo part size (sublane slices must be 8-aligned in start+size)
 
@@ -240,17 +246,17 @@ def _block_coords(i, j, bx, by, zp):
 
 def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids):
     if with_solids:
-        (dt_ref, data_ref, v0, v1, v2, occ, s0, s1, s2, out_ref,
+        (dt_ref, posq_ref, v0, v1, v2, occ, s0, s1, s2, outp_ref, outd_ref,
          wv0, wv1, wv2, wocc, ws0, ws1, ws2, sems) = refs
         grids = ((v0, wv0, 1), (v1, wv1, 1), (v2, wv2, 1), (occ, wocc, 2),
                  (s0, ws0, 1), (s1, ws1, 1), (s2, ws2, 1))
     else:
-        dt_ref, data_ref, v0, v1, v2, out_ref, wv0, wv1, wv2, sems = refs
+        dt_ref, posq_ref, v0, v1, v2, outp_ref, outd_ref, wv0, wv1, wv2, sems = refs
         grids = ((v0, wv0, 1), (v1, wv1, 1), (v2, wv2, 1))
     i = pl.program_id(0)
     j = pl.program_id(1)
     dt = dt_ref[0]
-    zp = data_ref.shape[-1]
+    zp = posq_ref.shape[-1]
 
     copies = []
     for n, (g, w, hx) in enumerate(grids):
@@ -265,8 +271,8 @@ def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids):
     gmax = [float(grid_dim[a]) - 1.001 for a in range(3)]
     wins_v = (wv0, wv1, wv2)
 
-    pos = [data_ref[:, a] for a in range(3)]
-    valid = data_ref[:, NUM_CH - 1]
+    pos = [posq_ref[:, a] for a in range(3)]
+    valid = posq_ref[:, CH_VALID]
     validb = valid > 0.5
 
     xi = [pos[a] - 0.5 - gf[a] for a in range(3)]
@@ -336,19 +342,26 @@ def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids):
         velocity[a] = jnp.where(penetrates, direction[a] * inv_dt, velocity[a])
 
     for a in range(3):
-        out_ref[:, a] = jnp.where(validb, new_pos[a], 0.0)
-        out_ref[:, 3 + a] = jnp.where(validb, velocity[a], 0.0)
-    for c in range(3):
-        for a in range(3):
-            out_ref[:, 6 + 3 * c + a] = jnp.where(validb, affine[c][a], 0.0)
-    out_ref[:, NUM_CH - 1] = valid
+        outp_ref[:, a] = jnp.where(validb, new_pos[a], 0.0)
+    outp_ref[:, CH_VALID] = valid
+    # velocity/affine: mask then quantize-pack to bf16 pairs (slot_major.py)
+    vq = [jnp.where(validb, velocity[a], 0.0) for a in range(3)]
+    aq = [
+        jnp.where(validb, affine[c][a], 0.0) for c in range(3) for a in range(3)
+    ]
+    pairs = (
+        (vq[0], vq[1]), (vq[2], aq[0]), (aq[1], aq[2]),
+        (aq[3], aq[4]), (aq[5], aq[6]), (aq[7], aq[8]),
+    )
+    for c, (hi, lo) in enumerate(pairs):
+        outd_ref[:, c] = pack_pair(hi, lo)
 
 
 def _correct_kernel(*refs, bx, by, X, Y, grid_dim):
-    data_ref, c0, c1, c2, mk, out_ref, wc0, wc1, wc2, wmk, sems = refs
+    posq_ref, c0, c1, c2, mk, out_ref, wc0, wc1, wc2, wmk, sems = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
-    zp = data_ref.shape[-1]
+    zp = posq_ref.shape[-1]
 
     copies = []
     for n, (g, w) in enumerate(((c0, wc0), (c1, wc1), (c2, wc2), (mk, wmk))):
@@ -362,8 +375,8 @@ def _correct_kernel(*refs, bx, by, X, Y, grid_dim):
     gf = [g.astype(jnp.float32) for g in gi]
     gmax = [float(grid_dim[a]) - 1.001 for a in range(3)]
 
-    pos = [data_ref[:, a] for a in range(3)]
-    validb = data_ref[:, NUM_CH - 1] > 0.5
+    pos = [posq_ref[:, a] for a in range(3)]
+    validb = posq_ref[:, CH_VALID] > 0.5
 
     xi = [jnp.clip(pos[a] - 0.5 - gf[a], 0.0, 1.0 - 1e-6) for a in range(3)]
     sel = [x >= 0.5 for x in xi]
@@ -392,7 +405,7 @@ def _correct_kernel(*refs, bx, by, X, Y, grid_dim):
 
     for a in range(3):
         out_ref[:, a] = jnp.where(validb, new_pos[a], 0.0)
-    out_ref[:, 3:] = data_ref[:, 3:]
+    out_ref[:, CH_VALID] = posq_ref[:, CH_VALID]
 
 
 def _grid_window_scratch(bx, by, zp, hx):
@@ -403,20 +416,25 @@ def _grid_window_scratch(bx, by, zp, hx):
     jax.jit, static_argnames=("grid_dim", "bx", "by", "interpret", "with_solids")
 )
 def _advect_call(
-    data, dt_arr, v0, v1, v2, occ, s0, s1, s2,
+    posq, dt_arr, v0, v1, v2, occ, s0, s1, s2,
     *, grid_dim, bx, by, interpret, with_solids,
 ):
-    k, ch, x, y, zp = data.shape
+    k, chp, x, y, zp = posq.shape
     kernel = functools.partial(
         _advect_kernel, bx=bx, by=by, X=x, Y=y, grid_dim=grid_dim,
         with_solids=with_solids,
     )
-    table_spec = pl.BlockSpec(
-        (k, ch, bx, by, zp), lambda i, j: (0, 0, i, j, 0), memory_space=pltpu.VMEM
+    posq_spec = pl.BlockSpec(
+        (k, NUM_POSQ, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dyn_spec = pl.BlockSpec(
+        (k, NUM_DYN, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
+        memory_space=pltpu.VMEM,
     )
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), table_spec, any_spec, any_spec, any_spec]
-    inputs = [dt_arr, data, v0, v1, v2]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), posq_spec, any_spec, any_spec, any_spec]
+    inputs = [dt_arr, posq, v0, v1, v2]
     scratch = [
         _grid_window_scratch(bx, by, zp, 1),
         _grid_window_scratch(bx, by, zp, 1),
@@ -436,8 +454,11 @@ def _advect_call(
         kernel,
         grid=(x // bx, y // by),
         in_specs=in_specs,
-        out_specs=table_spec,
-        out_shape=jax.ShapeDtypeStruct(data.shape, jnp.float32),
+        out_specs=[posq_spec, dyn_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(posq.shape, jnp.float32),
+            jax.ShapeDtypeStruct((k, NUM_DYN, x, y, zp), jnp.float32),
+        ],
         scratch_shapes=scratch,
         compiler_params=None
         if interpret
@@ -447,13 +468,14 @@ def _advect_call(
 
 
 @functools.partial(jax.jit, static_argnames=("grid_dim", "bx", "by", "interpret"))
-def _correct_call(data, c0, c1, c2, marker_f, *, grid_dim, bx, by, interpret):
-    k, ch, x, y, zp = data.shape
+def _correct_call(posq, c0, c1, c2, marker_f, *, grid_dim, bx, by, interpret):
+    k, chp, x, y, zp = posq.shape
     kernel = functools.partial(
         _correct_kernel, bx=bx, by=by, X=x, Y=y, grid_dim=grid_dim
     )
-    table_spec = pl.BlockSpec(
-        (k, ch, bx, by, zp), lambda i, j: (0, 0, i, j, 0), memory_space=pltpu.VMEM
+    posq_spec = pl.BlockSpec(
+        (k, NUM_POSQ, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
+        memory_space=pltpu.VMEM,
     )
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     scratch = [_grid_window_scratch(bx, by, zp, 1) for _ in range(4)]
@@ -461,15 +483,15 @@ def _correct_call(data, c0, c1, c2, marker_f, *, grid_dim, bx, by, interpret):
     return pl.pallas_call(
         kernel,
         grid=(x // bx, y // by),
-        in_specs=[table_spec] + [any_spec] * 4,
-        out_specs=table_spec,
-        out_shape=jax.ShapeDtypeStruct(data.shape, jnp.float32),
+        in_specs=[posq_spec] + [any_spec] * 4,
+        out_specs=posq_spec,
+        out_shape=jax.ShapeDtypeStruct(posq.shape, jnp.float32),
         scratch_shapes=scratch,
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(data, c0, c1, c2, marker_f)
+    )(posq, c0, c1, c2, marker_f)
 
 
 def _pad_z(g: jax.Array, zp: int) -> jax.Array:
@@ -479,13 +501,16 @@ def _pad_z(g: jax.Array, zp: int) -> jax.Array:
     return jnp.pad(g, ((0, 0), (0, 0), (0, zp - z)))
 
 
+_LIVE_CH = 2 * (NUM_POSQ + NUM_POSQ + NUM_DYN) + 48  # in/out blocks x2 + temps
+
+
 def _pick_blocks(x: int, y: int, zp: int, k: int, budget_bytes: int = 88 << 20):
     """(bx, by): the VMEM-heavy live set is the in+out table blocks (x2 for
     pipelining) plus ~48 K-shaped compute intermediates."""
     assert y % 8 == 0, f"pallas advect requires Y divisible by 8, got {y}"
     by = 8
     for bx in (8, 4, 2, 1):
-        if x % bx == 0 and (4 * NUM_CH + 48) * k * bx * by * zp * 4 <= budget_bytes:
+        if x % bx == 0 and _LIVE_CH * k * bx * by * zp * 4 <= budget_bytes:
             return bx, by
     return 1, by
 
@@ -495,7 +520,7 @@ def supports(grid_dim, capacity: int) -> bool:
     if y % 8:
         return False
     zp = max(128, -(-z // 128) * 128)
-    return (4 * NUM_CH + 48) * capacity * 1 * 8 * zp * 4 <= (88 << 20)
+    return _LIVE_CH * capacity * 1 * 8 * zp * 4 <= (88 << 20)
 
 
 def advect_sm_pallas(
@@ -505,26 +530,26 @@ def advect_sm_pallas(
     """Drop-in replacement for sm_phases.advect_slot_major. `dt` may be a
     traced scalar (it rides in SMEM). Caller must rebin(max_shift=2)."""
     x, y, z = sm.grid_dim
-    zp = sm.data.shape[-1]
+    zp = sm.zp
     bx, by = _pick_blocks(x, y, zp, sm.capacity)
     dt_arr = jnp.reshape(jnp.asarray(dt, jnp.float32), (1,))
     vel_p = [_pad_z(v, zp) for v in vel_grids]
     if solid_occupancy is None:
         zero = jnp.zeros((), jnp.float32)  # placeholder, not passed to the kernel
-        data = _advect_call(
-            sm.data, dt_arr, *vel_p, zero, zero, zero, zero,
+        posq, dyn = _advect_call(
+            sm.posq, dt_arr, *vel_p, zero, zero, zero, zero,
             grid_dim=sm.grid_dim, bx=bx, by=by, interpret=interpret,
             with_solids=False,
         )
     else:
         occ_p = _pad_z(solid_occupancy, zp)
         sv_p = [_pad_z(solid_velocity[..., a], zp) for a in range(3)]
-        data = _advect_call(
-            sm.data, dt_arr, *vel_p, occ_p, *sv_p,
+        posq, dyn = _advect_call(
+            sm.posq, dt_arr, *vel_p, occ_p, *sv_p,
             grid_dim=sm.grid_dim, bx=bx, by=by, interpret=interpret,
             with_solids=True,
         )
-    return SlotMajorTable(data=data, lost=sm.lost, grid_dim=sm.grid_dim)
+    return SlotMajorTable(posq=posq, dyn=dyn, lost=sm.lost, grid_dim=sm.grid_dim)
 
 
 def correct_sm_pallas(
@@ -533,12 +558,14 @@ def correct_sm_pallas(
     """Drop-in replacement for sm_phases.correct_slot_major.
     Caller must rebin(max_shift=1)."""
     x, y, z = sm.grid_dim
-    zp = sm.data.shape[-1]
+    zp = sm.zp
     bx, by = _pick_blocks(x, y, zp, sm.capacity)
     change_p = [_pad_z(c, zp) for c in change]
     marker_f = _pad_z(marker.astype(jnp.float32), zp)
-    data = _correct_call(
-        sm.data, *change_p, marker_f,
+    posq = _correct_call(
+        sm.posq, *change_p, marker_f,
         grid_dim=sm.grid_dim, bx=bx, by=by, interpret=interpret,
     )
-    return SlotMajorTable(data=data, lost=sm.lost, grid_dim=sm.grid_dim)
+    # dyn untouched: position correction moves particles only (the reference's
+    # correct_particles.comp rewrites positions alone)
+    return SlotMajorTable(posq=posq, dyn=sm.dyn, lost=sm.lost, grid_dim=sm.grid_dim)

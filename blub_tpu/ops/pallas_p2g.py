@@ -6,10 +6,13 @@ speedup" over the naive walk): each program block DMAs its table window
 (core + 1-cell halo) into VMEM ONCE and accumulates the 20-offset window sweep
 entirely on-chip, instead of XLA's per-offset HBM re-reads (20x traffic).
 
-Inputs are the resident slot-major table ``data f32[K, 16, X, Y, Zp]``
-(sim/slot_major.py) — UNPADDED in x/y: each block loads its halo window in 9
-statically-placed rectangle DMAs (3 x-parts x 3 y-parts, edge parts clamped
-into bounds). Clamped duplicate rows need no masking: the in-kernel bin check
+Inputs are the resident slot-major table (sim/slot_major.py): positions+valid
+``posq f32[K,4,X,Y,Zp]`` and the bf16-packed velocity/affine channels
+``dyn f32[K,6,X,Y,Zp]`` (unpacked to f32 in-register; all arithmetic is f32).
+The density-only pass reads ONLY posq — density needs no velocities. Arrays
+are UNPADDED in x/y: each block loads its halo window in 9 statically-placed
+rectangle DMAs (3 x-parts x 3 y-parts, edge parts clamped into bounds).
+Clamped duplicate rows need no masking: the in-kernel bin check
 (floor(pos-0.5) == cell + offset, on absolute positions) zeroes them exactly.
 
 Outputs are the raw accumulators [7, X, Y, Zp]:
@@ -29,7 +32,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sim.slot_major import NUM_CH, SlotMajorTable, from_table
+from ..sim.slot_major import (
+    NUM_DYN,
+    NUM_POSQ,
+    SlotMajorTable,
+    from_table,
+    unpack_hi,
+    unpack_lo,
+)
 
 # union window: dual bins g+o contributing to any field at cell g
 _OFFSETS = tuple(
@@ -45,30 +55,42 @@ _STAGS = ((1.0, 0.5, 0.5), (0.5, 1.0, 0.5), (0.5, 0.5, 1.0))
 _YH = 8  # y halo part size (sublane alignment unit)
 
 
-def _kernel(
-    data_hbm, out_ref, win, sems, *, bx: int, by: int, X: int, Y: int, z: int,
-    density_only: bool = False, velocity_only: bool = False,
-):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    # 9-part window DMA: x parts [1 | bx | 1], y parts [8 | by | 8]
+def _window_parts(i, j, bx, by, X, Y):
     xa = jnp.clip(i * bx - 1, 0, X - 1)
     xc = jnp.clip(i * bx + bx, 0, X - 1)
     ya = jnp.clip(j * by - _YH, 0, Y - _YH)
     yc = jnp.clip(j * by + by, 0, Y - _YH)
     xparts = ((xa, 0, 1), (i * bx, 1, bx), (xc, 1 + bx, 1))
     yparts = ((ya, 0, _YH), (j * by, _YH, by), (yc, _YH + by, _YH))
+    return xparts, yparts
+
+
+def _kernel(
+    *refs, bx: int, by: int, X: int, Y: int, z: int,
+    density_only: bool = False, velocity_only: bool = False,
+):
+    if density_only:
+        posq_hbm, out_ref, winp, sems = refs
+        srcs = ((posq_hbm, winp),)
+    else:
+        posq_hbm, dyn_hbm, out_ref, winp, wind, sems = refs
+        srcs = ((posq_hbm, winp), (dyn_hbm, wind))
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    # 9-part window DMA per source: x parts [1 | bx | 1], y parts [8 | by | 8]
+    xparts, yparts = _window_parts(i, j, bx, by, X, Y)
     copies = []
-    for n, (xs, xd, xn) in enumerate(xparts):
-        for m, (ys, yd, yn) in enumerate(yparts):
-            copies.append(
-                pltpu.make_async_copy(
-                    data_hbm.at[:, :, pl.ds(xs, xn), pl.ds(ys, yn), :],
-                    win.at[:, :, pl.ds(xd, xn), pl.ds(yd, yn), :],
-                    sems.at[n * 3 + m],
+    for t, (hbm, win) in enumerate(srcs):
+        for n, (xs, xd, xn) in enumerate(xparts):
+            for m, (ys, yd, yn) in enumerate(yparts):
+                copies.append(
+                    pltpu.make_async_copy(
+                        hbm.at[:, :, pl.ds(xs, xn), pl.ds(ys, yn), :],
+                        win.at[:, :, pl.ds(xd, xn), pl.ds(yd, yn), :],
+                        sems.at[9 * t + n * 3 + m],
+                    )
                 )
-            )
     for c in copies:
         c.start()
     for c in copies:
@@ -87,46 +109,57 @@ def _kernel(
     )
     for off in offsets:
         ox, oy, oz = off
-        slab = win[:, :, 1 + ox : 1 + ox + bx, _YH + oy : _YH + oy + by, :]
-        if oz != 0:
-            # read[z] = value[z+oz]; the wrap-around rows fail the bin check
-            # below, so a cyclic lane roll is safe (and cheap on the VPU).
-            slab = jnp.roll(slab, -oz, axis=4)
 
-        p0 = slab[:, 0]
-        p1 = slab[:, 1]
-        p2 = slab[:, 2]
-        v0 = slab[:, 3]
-        v1 = slab[:, 4]
-        v2 = slab[:, 5]
+        def slabify(win, o=off):
+            s = win[:, :, 1 + o[0] : 1 + o[0] + bx, _YH + o[1] : _YH + o[1] + by, :]
+            if o[2] != 0:
+                # read[z] = value[z+oz]; the wrap-around rows fail the bin
+                # check below, so a cyclic lane roll is safe (cheap on VPU).
+                s = jnp.roll(s, -o[2], axis=4)
+            return s
+
+        slabp = slabify(winp)
+        p0 = slabp[:, 0]
+        p1 = slabp[:, 1]
+        p2 = slabp[:, 2]
         # Only count particles whose dual bin really is (cell + off): this
         # enforces the table's bin invariant in-kernel AND exactly zeroes the
         # clamped duplicate window rows and z-roll wraps.
         valid = (
-            slab[:, 15]
+            slabp[:, 3]
             * (jnp.floor(p0 - 0.5) == gx[None] + ox)
             * (jnp.floor(p1 - 0.5) == gy[None] + oy)
             * (jnp.floor(p2 - 0.5) == gz[None] + oz)
         )
 
-        for c in range(0 if not density_only else 3, 3):
-            sx, sy, sz = _STAGS[c]
-            dx = gx[None] + sx - p0
-            dy = gy[None] + sy - p1
-            dz = gz[None] + sz - p2
-            w = (
-                jnp.clip(1.0 - jnp.abs(dx), 0.0, 1.0)
-                * jnp.clip(1.0 - jnp.abs(dy), 0.0, 1.0)
-                * jnp.clip(1.0 - jnp.abs(dz), 0.0, 1.0)
-                * valid
+        if not density_only:
+            slabd = slabify(wind)
+            vel = (
+                unpack_hi(slabd[:, 0]),
+                unpack_lo(slabd[:, 0]),
+                unpack_hi(slabd[:, 1]),
             )
-            row0 = slab[:, 6 + 3 * c]
-            row1 = slab[:, 7 + 3 * c]
-            row2 = slab[:, 8 + 3 * c]
-            vc = (v0, v1, v2)[c]
-            val = w * (vc + row0 * dx + row1 * dy + row2 * dz)
-            acc[c] = acc[c] + jnp.sum(w, axis=0)
-            acc[3 + c] = acc[3 + c] + jnp.sum(val, axis=0)
+            aff = (
+                unpack_lo(slabd[:, 1]), unpack_hi(slabd[:, 2]), unpack_lo(slabd[:, 2]),
+                unpack_hi(slabd[:, 3]), unpack_lo(slabd[:, 3]), unpack_hi(slabd[:, 4]),
+                unpack_lo(slabd[:, 4]), unpack_hi(slabd[:, 5]), unpack_lo(slabd[:, 5]),
+            )
+            for c in range(3):
+                sx, sy, sz = _STAGS[c]
+                dx = gx[None] + sx - p0
+                dy = gy[None] + sy - p1
+                dz = gz[None] + sz - p2
+                w = (
+                    jnp.clip(1.0 - jnp.abs(dx), 0.0, 1.0)
+                    * jnp.clip(1.0 - jnp.abs(dy), 0.0, 1.0)
+                    * jnp.clip(1.0 - jnp.abs(dz), 0.0, 1.0)
+                    * valid
+                )
+                val = w * (
+                    vel[c] + aff[3 * c] * dx + aff[3 * c + 1] * dy + aff[3 * c + 2] * dz
+                )
+                acc[c] = acc[c] + jnp.sum(w, axis=0)
+                acc[3 + c] = acc[3 + c] + jnp.sum(val, axis=0)
 
         if not velocity_only:
             # density: sample at cell centers
@@ -149,12 +182,13 @@ def _kernel(
     jax.jit, static_argnames=("bx", "by", "interpret", "density_only", "velocity_only")
 )
 def p2g_accumulate(
-    data: jax.Array, bx: int = 8, by: int = 8, interpret: bool = False,
+    posq: jax.Array, dyn: jax.Array | None, bx: int = 8, by: int = 8,
+    interpret: bool = False,
     density_only: bool = False, velocity_only: bool = False,
 ) -> jax.Array:
-    """data: f32[K, 16, X, Y, Zp] resident slot-major table -> f32[7|6|1, X, Y, Zp]."""
-    k, ch, x, y, zp = data.shape
-    assert ch == NUM_CH, ch
+    """Slot-major table -> f32[7|6|1, X, Y, Zp] raw accumulators."""
+    k, chp, x, y, zp = posq.shape
+    assert chp == NUM_POSQ, chp
     assert x % bx == 0 and y % by == 0 and by % 8 == 0, (x, y, bx, by)
     assert not (density_only and velocity_only)
 
@@ -164,23 +198,33 @@ def p2g_accumulate(
         _kernel, bx=bx, by=by, X=x, Y=y, z=zp,
         density_only=density_only, velocity_only=velocity_only,
     )
+    win_shape = (k, NUM_POSQ, bx + 2, by + 2 * _YH, zp)
+    scratch = [pltpu.VMEM(win_shape, jnp.float32)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    inputs = [posq]
+    nsem = 9
+    if not density_only:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        inputs.append(dyn)
+        scratch.append(
+            pltpu.VMEM((k, NUM_DYN, bx + 2, by + 2 * _YH, zp), jnp.float32)
+        )
+        nsem = 18
+    scratch.append(pltpu.SemaphoreType.DMA((nsem,)))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (n_out, bx, by, zp), lambda i, j: (0, i, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_out, x, y, zp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((k, NUM_CH, bx + 2, by + 2 * _YH, zp), jnp.float32),
-            pltpu.SemaphoreType.DMA((9,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(data)
+    )(*inputs)
 
 
 def _pick_blocks(x: int, y: int, zp: int, k: int, budget_bytes: int = 64 << 20):
@@ -188,11 +232,12 @@ def _pick_blocks(x: int, y: int, zp: int, k: int, budget_bytes: int = 64 << 20):
     preferred: the y halo parts are fixed 8-wide (sublane alignment), so the
     window read amplification is (by+16)/by."""
     assert y % 8 == 0, f"pallas p2g requires Y divisible by 8, got {y}"
+    nch = NUM_POSQ + NUM_DYN
     for by in (32, 16, 8):
         if y % by:
             continue
         for bx in (8, 4, 2, 1):
-            if x % bx == 0 and k * NUM_CH * (bx + 2) * (by + 2 * _YH) * zp * 4 <= budget_bytes:
+            if x % bx == 0 and k * nch * (bx + 2) * (by + 2 * _YH) * zp * 4 <= budget_bytes:
                 return bx, by
     return 1, 8
 
@@ -202,12 +247,15 @@ def _as_slot_major(table) -> SlotMajorTable:
 
 
 def p2g_density_pallas(table, interpret: bool = False) -> jax.Array:
-    """Particle density only (post-advect pass): 8-offset window, 1 output.
-    Accepts a ParticleTable (converts) or the resident SlotMajorTable."""
+    """Particle density only (post-advect pass): 8-offset window, 1 output,
+    positions-only window (density reads no velocities). Accepts a
+    ParticleTable (converts) or the resident SlotMajorTable."""
     sm = _as_slot_major(table)
     x, y, z = sm.grid_dim
-    bx, by = _pick_blocks(x, y, sm.data.shape[-1], sm.capacity)
-    acc = p2g_accumulate(sm.data, bx=bx, by=by, interpret=interpret, density_only=True)
+    bx, by = _pick_blocks(x, y, sm.zp, sm.capacity)
+    acc = p2g_accumulate(
+        sm.posq, None, bx=bx, by=by, interpret=interpret, density_only=True
+    )
     return acc[0, :, :, :z]
 
 
@@ -217,11 +265,12 @@ def supports(grid_dim, capacity: int) -> bool:
     if y % 8:
         return False
     zp = max(128, -(-z // 128) * 128)
-    return capacity * NUM_CH * 3 * (8 + 2 * _YH) * zp * 4 <= (64 << 20)
+    nch = NUM_POSQ + NUM_DYN
+    return capacity * nch * 3 * (8 + 2 * _YH) * zp * 4 <= (64 << 20)
 
 
 def p2g_velocity_density_pallas(
-    table, marker: jax.Array, gravity_grid: Tuple[float, float, float], dt: float,
+    table, marker: jax.Array, gravity_grid: Tuple[float, float, float], dt,
     interpret: bool = False, with_density: bool = True,
 ):
     """Drop-in replacement for dense_transfer.p2g_velocity_dense (+
@@ -231,9 +280,10 @@ def p2g_velocity_density_pallas(
 
     sm = _as_slot_major(table)
     x, y, z = sm.grid_dim
-    bx, by = _pick_blocks(x, y, sm.data.shape[-1], sm.capacity)
+    bx, by = _pick_blocks(x, y, sm.zp, sm.capacity)
     acc = p2g_accumulate(
-        sm.data, bx=bx, by=by, interpret=interpret, velocity_only=not with_density
+        sm.posq, sm.dyn, bx=bx, by=by, interpret=interpret,
+        velocity_only=not with_density,
     )
     acc = acc[..., :z]
 

@@ -14,9 +14,13 @@ particle_binning*.comp + hybrid_fluid.rs:854-894) — there binning is a perf
 nicety every 60 steps; here it is correctness-bearing and runs twice a step.
 
 Pack semantics are IDENTICAL to sim/table.py::rebin (same candidate order:
-offset ascending, then slot), and the pack multiplies payloads by exact 0/1
-f32 masks on the VPU — bit-exact transport, never a matmul (MXU f32 matmuls
-run as bf16 on this platform; see tests/test_pallas.py::test_rebin_is_bit_exact).
+offset ascending, then slot). All bin/flag arithmetic runs on the f32
+position channels (posq) on the VPU — never a matmul (MXU f32 matmuls run as
+bf16 on this platform; see tests/test_pallas.py::test_rebin_is_bit_exact).
+Payload transport is bit-exact for both arrays: posq moves as mask*value
+(exact for 0/1 masks on finite positions), the bf16-packed dyn channels move
+as select+add (their f32 bit patterns are not arithmetic values, so no
+multiply ever touches them).
 
 Windowing: resident arrays are unpadded in x/y. Each block DMAs its window in
 three statically-placed parts per haloed axis (lead halo | core | trail halo),
@@ -36,9 +40,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sim.slot_major import CH_VALID, NUM_CH, SlotMajorTable
+from ..sim.slot_major import CH_VALID, NUM_DYN, NUM_POSQ, SlotMajorTable
 
 _YH = 8  # y halo part size (sublane slices must be 8-aligned in start+size)
+_NCH = NUM_POSQ + NUM_DYN  # total transported channels (VMEM accounting)
 
 
 def _target(pos_a: jax.Array, dim_a: int) -> jax.Array:
@@ -49,12 +54,13 @@ def _target(pos_a: jax.Array, dim_a: int) -> jax.Array:
 
 
 def _stage_kernel(
-    data_hbm,
-    out_ref,
-    win,
-    sem_a,
-    sem_b,
-    sem_c,
+    posq_hbm,
+    dyn_hbm,
+    outp_ref,
+    outd_ref,
+    winp,
+    wind,
+    sems,
     *,
     axis: int,
     s: int,
@@ -71,62 +77,71 @@ def _stage_kernel(
     j = pl.program_id(1)
 
     # ---- window DMA: lead halo | core | trail halo along the pack axis ----
-    if axis == 0:
-        a0 = jnp.clip(i * bx - s, 0, X - s)
-        c0 = jnp.clip(i * bx + bx, 0, X - s)
-        copies = [
+    def parts(hbm, win, sem0):
+        if axis == 0:
+            a0 = jnp.clip(i * bx - s, 0, X - s)
+            c0 = jnp.clip(i * bx + bx, 0, X - s)
+            return [
+                pltpu.make_async_copy(
+                    hbm.at[:, :, pl.ds(a0, s), pl.ds(j * by, by), :],
+                    win.at[:, :, pl.ds(0, s)],
+                    sems.at[sem0],
+                ),
+                pltpu.make_async_copy(
+                    hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
+                    win.at[:, :, pl.ds(s, bx)],
+                    sems.at[sem0 + 1],
+                ),
+                pltpu.make_async_copy(
+                    hbm.at[:, :, pl.ds(c0, s), pl.ds(j * by, by), :],
+                    win.at[:, :, pl.ds(s + bx, s)],
+                    sems.at[sem0 + 2],
+                ),
+            ]
+        elif axis == 1:
+            a0 = jnp.clip(j * by - _YH, 0, Y - _YH)
+            c0 = jnp.clip(j * by + by, 0, Y - _YH)
+            return [
+                pltpu.make_async_copy(
+                    hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(a0, _YH), :],
+                    win.at[:, :, :, pl.ds(0, _YH)],
+                    sems.at[sem0],
+                ),
+                pltpu.make_async_copy(
+                    hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
+                    win.at[:, :, :, pl.ds(_YH, by)],
+                    sems.at[sem0 + 1],
+                ),
+                pltpu.make_async_copy(
+                    hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(c0, _YH), :],
+                    win.at[:, :, :, pl.ds(_YH + by, _YH)],
+                    sems.at[sem0 + 2],
+                ),
+            ]
+        return [
             pltpu.make_async_copy(
-                data_hbm.at[:, :, pl.ds(a0, s), pl.ds(j * by, by), :],
-                win.at[:, :, pl.ds(0, s)],
-                sem_a,
-            ),
-            pltpu.make_async_copy(
-                data_hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
-                win.at[:, :, pl.ds(s, bx)],
-                sem_b,
-            ),
-            pltpu.make_async_copy(
-                data_hbm.at[:, :, pl.ds(c0, s), pl.ds(j * by, by), :],
-                win.at[:, :, pl.ds(s + bx, s)],
-                sem_c,
-            ),
-        ]
-    elif axis == 1:
-        a0 = jnp.clip(j * by - _YH, 0, Y - _YH)
-        c0 = jnp.clip(j * by + by, 0, Y - _YH)
-        copies = [
-            pltpu.make_async_copy(
-                data_hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(a0, _YH), :],
-                win.at[:, :, :, pl.ds(0, _YH)],
-                sem_a,
-            ),
-            pltpu.make_async_copy(
-                data_hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
-                win.at[:, :, :, pl.ds(_YH, by)],
-                sem_b,
-            ),
-            pltpu.make_async_copy(
-                data_hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(c0, _YH), :],
-                win.at[:, :, :, pl.ds(_YH + by, _YH)],
-                sem_c,
-            ),
-        ]
-    else:
-        copies = [
-            pltpu.make_async_copy(
-                data_hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
+                hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
                 win,
-                sem_a,
+                sems.at[sem0],
             )
         ]
+
+    copies = parts(posq_hbm, winp, 0) + parts(dyn_hbm, wind, 3)
     for c in copies:
         c.start()
     for c in copies:
         c.wait()
 
-    wshape = win.shape[2:]  # (wx, wy, Zp)
-    wpos = win[:, axis]  # [k_in, wx, wy, Zp] position along the pack axis
-    wvalid = win[:, CH_VALID] > 0.5
+    if axis == 0:
+        a0 = jnp.clip(i * bx - s, 0, X - s)
+        c0 = jnp.clip(i * bx + bx, 0, X - s)
+    elif axis == 1:
+        a0 = jnp.clip(j * by - _YH, 0, Y - _YH)
+        c0 = jnp.clip(j * by + by, 0, Y - _YH)
+
+    wshape = winp.shape[2:]  # (wx, wy, Zp)
+    wpos = winp[:, axis]  # [k_in, wx, wy, Zp] position along the pack axis
+    wvalid = winp[:, CH_VALID] > 0.5
     wtarget = _target(wpos, dim_a)
 
     # actual vs expected global coordinate per window row along the pack axis
@@ -164,16 +179,18 @@ def _stage_kernel(
     if k_out < k_in:
         # shrinking the slot dim additionally requires the tail slots of the
         # CORE cells to be empty, else the copy-through would truncate
-        tail = win[k_out:, CH_VALID][(slice(None),) + core]
+        tail = winp[k_out:, CH_VALID][(slice(None),) + core]
         needs = needs | jnp.any(tail > 0.5)
 
     @pl.when(jnp.logical_not(needs))
     def _copy_through():
         for q in range(k_out):
             if q < k_in:
-                out_ref[q] = win[q][(slice(None),) + core]
+                outp_ref[q] = winp[q][(slice(None),) + core]
+                outd_ref[q] = wind[q][(slice(None),) + core]
             else:
-                out_ref[q] = jnp.zeros((NUM_CH, bx, by, Zp), jnp.float32)
+                outp_ref[q] = jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32)
+                outd_ref[q] = jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32)
 
     @pl.when(needs)
     def _pack():
@@ -182,7 +199,8 @@ def _stage_kernel(
         ).astype(jnp.float32)
         # zero-init so the accumulation below can skip all-empty candidates
         for q in range(k_out):
-            out_ref[q] = jnp.zeros((NUM_CH, bx, by, Zp), jnp.float32)
+            outp_ref[q] = jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32)
+            outd_ref[q] = jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32)
         running = jnp.zeros((bx, by, Zp), jnp.int32)
         c_idx = 0
         for off in range(-s, s + 1):
@@ -205,12 +223,12 @@ def _stage_kernel(
             else:
                 # jnp.roll(x, 0) lowers to a zero-size slice in Mosaic
                 def _zroll(a, o=off):
-                    return jnp.roll(a, -o, axis=3) if o else a
+                    return jnp.roll(a, -o, axis=-1) if o else a
 
                 lane_ok = (riota + off >= 0) & (riota + off < Zp)
                 # roll the f32 valid channel: Mosaic can't roll i1 vregs
                 f_all = (
-                    (_zroll(win[:, CH_VALID]) > 0.5)
+                    (_zroll(winp[:, CH_VALID]) > 0.5)
                     & lane_ok[None]
                     & (_zroll(wtarget) == gout[None])
                 )
@@ -229,24 +247,49 @@ def _stage_kernel(
                     fk = f_all[k]
                     dest = dests[k]
                     if axis == 2:
-                        payload = _zroll(win[k])
+                        def _zroll2(a, o=off):
+                            return jnp.roll(a, -o, axis=-1) if o else a
+
+                        pay_p = _zroll2(winp[k])
+                        pay_d = _zroll2(wind[k])
                     else:
-                        payload = win[k][(slice(None),) + sl_]
+                        pay_p = winp[k][(slice(None),) + sl_]
+                        pay_d = wind[k][(slice(None),) + sl_]
 
                     @pl.when(jnp.any(fk))
-                    def _slot(fk=fk, dest=dest, payload=payload, c=c_base + k):
+                    def _slot(fk=fk, dest=dest, pay_p=pay_p, pay_d=pay_d, c=c_base + k):
                         # the candidate's arrivals land in output slots
                         # [dlo, dhi] only (dest = per-cell running count);
-                        # scalar-gate the 16-channel accumulate so calm blocks
-                        # pay ~2 slots instead of min(c+1, k_out) — the pack
-                        # is compute-bound (PERF.md), this is the hot loop
+                        # scalar-gate the accumulate so calm blocks pay ~one
+                        # group of slots instead of min(c+1, k_out) — the
+                        # pack is compute-bound (PERF.md), this is the hot
+                        # loop. Gating happens per GROUP of 4 slots: per-q
+                        # regions made Mosaic compile time explode.
                         dlo = jnp.min(jnp.where(fk, dest, k_out))
                         dhi = jnp.max(jnp.where(fk, dest, -1))
-                        for q in range(min(c + 1, k_out)):
-                            @pl.when((q >= dlo) & (q <= dhi))
-                            def _q(q=q, fk=fk, dest=dest, payload=payload):
-                                m = ((dest == q) & fk).astype(jnp.float32)[None]
-                                out_ref[q] = out_ref[q] + m * payload
+                        pay_i = jax.lax.bitcast_convert_type(pay_d, jnp.int32)
+                        n_q = min(c + 1, k_out)
+                        for q0 in range(0, n_q, 4):
+                            @pl.when((q0 + 3 >= dlo) & (q0 <= dhi))
+                            def _grp(q0=q0, n_q=n_q, fk=fk, dest=dest,
+                                     pay_p=pay_p, pay_i=pay_i):
+                                for q in range(q0, min(q0 + 4, n_q)):
+                                    hit = (dest == q) & fk
+                                    m = hit.astype(jnp.float32)[None]
+                                    outp_ref[q] = outp_ref[q] + m * pay_p
+                                    # packed bf16 pairs move through integer
+                                    # OR: writes are disjoint and f32
+                                    # arithmetic must never touch the packed
+                                    # bits (a pair with hi == 0.0 reads as an
+                                    # f32 DENORMAL, which the VPU would flush
+                                    # to zero on add)
+                                    cur = jax.lax.bitcast_convert_type(
+                                        outd_ref[q], jnp.int32
+                                    )
+                                    sel = jnp.where(hit[None], pay_i, 0)
+                                    outd_ref[q] = jax.lax.bitcast_convert_type(
+                                        cur | sel, jnp.float32
+                                    )
 
             c_idx += k_in
 
@@ -255,7 +298,8 @@ def _stage_kernel(
     jax.jit, static_argnames=("axis", "s", "k_out", "dim_a", "bx", "by", "interpret")
 )
 def _rebin_stage(
-    data: jax.Array,
+    posq: jax.Array,
+    dyn: jax.Array,
     *,
     axis: int,
     s: int,
@@ -264,17 +308,17 @@ def _rebin_stage(
     bx: int,
     by: int,
     interpret: bool = False,
-) -> jax.Array:
-    k_in, ch, X, Y, Zp = data.shape
-    assert ch == NUM_CH
+):
+    k_in, chp, X, Y, Zp = posq.shape
+    assert chp == NUM_POSQ
     assert X % bx == 0 and Y % by == 0 and by % 8 == 0 and bx >= s and s <= _YH
     assert (2 * s + 1) * k_in > k_out, "pack assumes more candidates than slots"
     if axis == 0:
-        wshape = (k_in, NUM_CH, bx + 2 * s, by, Zp)
+        wx, wy = bx + 2 * s, by
     elif axis == 1:
-        wshape = (k_in, NUM_CH, bx, by + 2 * _YH, Zp)
+        wx, wy = bx, by + 2 * _YH
     else:
-        wshape = (k_in, NUM_CH, bx, by, Zp)
+        wx, wy = bx, by
     kern = functools.partial(
         _stage_kernel,
         axis=axis, s=s, k_in=k_in, k_out=k_out,
@@ -283,17 +327,28 @@ def _rebin_stage(
     return pl.pallas_call(
         kern,
         grid=(X // bx, Y // by),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (k_out, NUM_CH, bx, by, Zp), lambda i, j: (0, 0, i, j, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((k_out, NUM_CH, X, Y, Zp), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (k_out, NUM_POSQ, bx, by, Zp), lambda i, j: (0, 0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k_out, NUM_DYN, bx, by, Zp), lambda i, j: (0, 0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k_out, NUM_POSQ, X, Y, Zp), jnp.float32),
+            jax.ShapeDtypeStruct((k_out, NUM_DYN, X, Y, Zp), jnp.float32),
+        ],
         scratch_shapes=[
-            pltpu.VMEM(wshape, jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((k_in, NUM_POSQ, wx, wy, Zp), jnp.float32),
+            pltpu.VMEM((k_in, NUM_DYN, wx, wy, Zp), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         # window + out fit the ~10MB block budget; Mosaic's pack temporaries
         # (rolled slabs, flag planes) need headroom beyond the default 16MB
@@ -302,7 +357,7 @@ def _rebin_stage(
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(data)
+    )(posq, dyn)
 
 
 def _pick_blocks(axis: int, k_in: int, k_out: int, X: int, Y: int, s: int, Zp: int, budget: int):
@@ -318,8 +373,8 @@ def _pick_blocks(axis: int, k_in: int, k_out: int, X: int, Y: int, s: int, Zp: i
                 continue
             wx = bx + 2 * s if axis == 0 else bx
             wy = by + 2 * _YH if axis == 1 else by
-            win = k_in * NUM_CH * wx * wy * Zp * 4
-            out = k_out * NUM_CH * bx * by * Zp * 4
+            win = k_in * _NCH * wx * wy * Zp * 4
+            out = k_out * _NCH * bx * by * Zp * 4
             if win + out <= budget:
                 return bx, by
     return None
@@ -346,14 +401,14 @@ def supports(grid_dim, capacity: int, max_shift: int) -> bool:
 _SLACK_BYTE_BUDGET = 2 << 30  # per-stage buffer size above which slack drops
 
 
-def default_slack(data_nbytes: int, capacity: int) -> int:
+def default_slack(table_nbytes: int, capacity: int) -> int:
     """Stage-buffer slot slack: 4 normally; 2 when the table is so large that
     K+4 stage buffers would crowd HBM (two stage buffers are live at once —
     at 256x128x128/K=16 that was the difference between fitting in 16 GB or
     not, PERF.md round-2). Slack only covers TRANSIENT mid-pack overcrowding
     (particles funneled into a cell-column before the later axes spread them),
     so 2 costs little: measured dam-scale loss is unchanged."""
-    per_slot = data_nbytes // max(capacity, 1)
+    per_slot = table_nbytes // max(capacity, 1)
     return 2 if (capacity + 4) * per_slot > _SLACK_BYTE_BUDGET else 4
 
 
@@ -366,23 +421,23 @@ def rebin_slot_major(
     multisets match the XLA rebin exactly (slot order may differ when one
     implementation's early-exit engages and the other's doesn't)."""
     X, Y, Z = sm.grid_dim
-    data = sm.data
-    k = data.shape[0]
+    posq, dyn = sm.posq, sm.dyn
+    k = posq.shape[0]
     if slack is None:
-        slack = default_slack(data.size * 4, k)
-    before = jnp.sum(data[:, CH_VALID] > 0.5)
+        slack = default_slack((posq.size + dyn.size) * 4, k)
+    before = jnp.sum(posq[:, CH_VALID] > 0.5)
     for axis in range(3):
         k_out = k + slack if axis < 2 else k
         blocks = _pick_blocks(
-            axis, data.shape[0], k_out, X, Y, max_shift, data.shape[4], _BUDGET
+            axis, posq.shape[0], k_out, X, Y, max_shift, posq.shape[4], _BUDGET
         )
         assert blocks is not None, "caller must gate on supports()"
         bx, by = blocks
-        data = _rebin_stage(
-            data,
+        posq, dyn = _rebin_stage(
+            posq, dyn,
             axis=axis, s=max_shift, k_out=k_out, dim_a=sm.grid_dim[axis],
             bx=bx, by=by, interpret=interpret,
         )
-    after = jnp.sum(data[:, CH_VALID] > 0.5)
+    after = jnp.sum(posq[:, CH_VALID] > 0.5)
     lost = sm.lost + (before - after).astype(jnp.int32)
-    return SlotMajorTable(data=data, lost=lost, grid_dim=sm.grid_dim)
+    return SlotMajorTable(posq=posq, dyn=dyn, lost=lost, grid_dim=sm.grid_dim)

@@ -1,26 +1,39 @@
 """Slot-major particle table: the kernel-resident layout.
 
 The round-1 ``ParticleTable`` stores fields as ``[X, Y, Z, K, *]`` arrays;
-every Pallas kernel however wants the fused channel layout
-``data f32[K, 16, X, Y, Zp]`` (slots outermost, 16 channels, Z padded to a
-lane-aligned multiple of 128). Round 1 converted on every kernel call — a
-~0.5 GiB transpose, twice per step (VERDICT.md weak #6). This module makes
-slot-major the *resident* representation: conversions happen only at
-state creation and host readback.
+every Pallas kernel however wants a fused channel layout with slots outermost
+and the lane axis last. Round 1 converted on every kernel call — a ~0.5 GiB
+transpose, twice per step (VERDICT.md weak #6). This module makes slot-major
+the *resident* representation: conversions happen only at state creation and
+host readback.
 
-Channel map (dim 1):
-  0:3   position (global grid-space, like the reference's grid-space
-        particle positions, shader/simulation/particles.glsl:5-8)
-  3:6   velocity
-  6:15  APIC affine C rows (row-major)
-  15    valid flag (0.0 / 1.0)
+Round-2 packing (PERF.md round-3 item 3): the table is TWO arrays,
+
+  posq f32[K, 4, X, Y, Zp]   channels 0:3 position (global grid space, like
+                             the reference's grid-space particle positions,
+                             shader/simulation/particles.glsl:5-8), 3 valid
+  dyn  f32[K, 6, X, Y, Zp]   velocity + APIC affine C rows, stored as SIX
+                             f32-width channels each holding TWO bf16 values
+                             (hi|lo bit-packed):
+                               0: vx|vy   1: vz|c00  2: c01|c02
+                               3: c10|c11 4: c12|c20 5: c21|c22
+
+40 bytes/slot instead of 64. Positions stay f32 — the dense-table bin
+invariant moves exact bits (CLAUDE.md) — while velocity/affine are bf16:
+they are REGENERATED from the grid by G2P every substep, so quantization
+touches one P2G round trip, not an accumulating state. Packing pairs into
+f32 lanes (rather than a bf16 array) keeps every DMA/tiling rule identical
+to f32 — no (16, 128) sublane constraints — and kernels transport packed
+channels bit-exactly with select+add. Deviation: the reference stores
+velocities as three full vec4 rows (hybrid_fluid.rs:104-119); bf16 payload
+is a TPU-bandwidth tradeoff the GPU original never needed.
 
 Invariants:
   - a valid slot at cell (x,y,z) holds a particle with
     floor(pos - 0.5) == (x,y,z) (same as ParticleTable);
-  - invalid slots are ALL-ZERO across the 16 channels (the Pallas rebin
-    pack produces exact zeros for empty output slots, and every phase
-    multiplies by the valid channel);
+  - invalid slots are ALL-ZERO across both arrays (the Pallas rebin pack
+    produces exact zeros for empty output slots, and every phase multiplies
+    by the valid channel);
   - the z padding rows [Z, Zp) are all-zero.
 """
 
@@ -35,10 +48,66 @@ import jax.numpy as jnp
 from .table import ParticleTable
 
 CH_POS = slice(0, 3)
-CH_VEL = slice(3, 6)
-CH_AFF = slice(6, 15)
-CH_VALID = 15
-NUM_CH = 16
+CH_VALID = 3
+NUM_POSQ = 4
+NUM_DYN = 6
+BYTES_PER_SLOT = (NUM_POSQ + NUM_DYN) * 4
+
+_HI_MASK = -65536  # 0xFFFF0000 as a (weakly-typed) int32 literal: a traced
+_LO_MASK = 0xFFFF  # jnp constant would be captured by Pallas kernel closures
+
+
+def pack_pair(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Two f32 arrays -> one f32 whose bits hold round-to-nearest bf16(hi) in
+    the high 16 bits and bf16(lo) in the low 16. Pure int32 bit ops (sign-safe
+    shifts with masking), valid in both XLA and Mosaic.
+
+    Inputs are canonicalized -0.0 -> +0.0 (the `+ 0.0`): a -0.0 would pack a
+    lone sign bit, so invalid (masked-to-zero) slots would carry nonzero
+    packed bits — breaking the all-zero-slot invariant every kernel relies
+    on. For any other finite value `x + 0.0` is exact."""
+    hb = jax.lax.bitcast_convert_type(
+        hi.astype(jnp.bfloat16).astype(jnp.float32) + 0.0, jnp.int32
+    )
+    lb = jax.lax.bitcast_convert_type(
+        lo.astype(jnp.bfloat16).astype(jnp.float32) + 0.0, jnp.int32
+    )
+    packed = (hb & _HI_MASK) | ((lb >> 16) & _LO_MASK)
+    return jax.lax.bitcast_convert_type(packed, jnp.float32)
+
+
+def unpack_hi(p: jax.Array) -> jax.Array:
+    b = jax.lax.bitcast_convert_type(p, jnp.int32)
+    return jax.lax.bitcast_convert_type(b & _HI_MASK, jnp.float32)
+
+
+def unpack_lo(p: jax.Array) -> jax.Array:
+    b = jax.lax.bitcast_convert_type(p, jnp.int32)
+    return jax.lax.bitcast_convert_type(b << 16, jnp.float32)
+
+
+def pack_dyn(vel, aff):
+    """vel: 3 arrays, aff: 9 arrays (row-major c[i][j]) -> 6 packed arrays."""
+    v0, v1, v2 = vel
+    return [
+        pack_pair(v0, v1),
+        pack_pair(v2, aff[0]),
+        pack_pair(aff[1], aff[2]),
+        pack_pair(aff[3], aff[4]),
+        pack_pair(aff[5], aff[6]),
+        pack_pair(aff[7], aff[8]),
+    ]
+
+
+def unpack_dyn(dyn):
+    """6 packed arrays -> (3 vel arrays, 9 affine arrays, exact bf16->f32)."""
+    vel = [unpack_hi(dyn[0]), unpack_lo(dyn[0]), unpack_hi(dyn[1])]
+    aff = [
+        unpack_lo(dyn[1]), unpack_hi(dyn[2]), unpack_lo(dyn[2]),
+        unpack_hi(dyn[3]), unpack_lo(dyn[3]), unpack_hi(dyn[4]),
+        unpack_lo(dyn[4]), unpack_hi(dyn[5]), unpack_lo(dyn[5]),
+    ]
+    return vel, aff
 
 
 def zpad(z: int) -> int:
@@ -48,60 +117,80 @@ def zpad(z: int) -> int:
 
 @dataclasses.dataclass
 class SlotMajorTable:
-    """data: f32[K, 16, X, Y, Zp]; lost: i32 cumulative overflow drops."""
+    """posq: f32[K,4,X,Y,Zp]; dyn: f32[K,6,X,Y,Zp] (bf16 pairs);
+    lost: i32 cumulative overflow drops."""
 
-    data: jax.Array
+    posq: jax.Array
+    dyn: jax.Array
     lost: jax.Array
     grid_dim: Tuple[int, int, int] = dataclasses.field(metadata=dict(static=True))
 
     @property
     def capacity(self) -> int:
-        return self.data.shape[0]
+        return self.posq.shape[0]
+
+    @property
+    def zp(self) -> int:
+        return self.posq.shape[-1]
 
     def num_particles(self) -> jax.Array:
-        return jnp.sum(self.data[:, CH_VALID].astype(jnp.int32))
+        return jnp.sum(self.posq[:, CH_VALID].astype(jnp.int32))
 
     def max_speed(self) -> jax.Array:
-        v = self.data[:, CH_VEL]
-        sq = jnp.sum(v * v, axis=1) * self.data[:, CH_VALID]
+        vel, _ = unpack_dyn([self.dyn[:, c] for c in range(NUM_DYN)])
+        sq = (vel[0] * vel[0] + vel[1] * vel[1] + vel[2] * vel[2]) * self.posq[
+            :, CH_VALID
+        ]
         return jnp.sqrt(jnp.max(sq)).astype(jnp.float32)
 
 
 jax.tree_util.register_dataclass(
-    SlotMajorTable, data_fields=["data", "lost"], meta_fields=["grid_dim"]
+    SlotMajorTable, data_fields=["posq", "dyn", "lost"], meta_fields=["grid_dim"]
 )
 
 
 def from_table(table: ParticleTable) -> SlotMajorTable:
-    """[X,Y,Z,K,*] ParticleTable -> resident slot-major (init/tests only)."""
+    """[X,Y,Z,K,*] ParticleTable -> resident slot-major (init/tests only).
+    Velocity/affine are quantized to bf16 here."""
     grid_dim = table.grid_dim
     k = table.capacity
     z = grid_dim[2]
     validf = table.valid.astype(jnp.float32)
-    payload = jnp.concatenate(
-        [
-            table.pos * validf[..., None],
-            table.vel * validf[..., None],
-            table.affine.reshape(grid_dim + (k, 9)) * validf[..., None],
-            validf[..., None],
-        ],
-        axis=-1,
-    )  # [X,Y,Z,K,16]
-    data = jnp.transpose(payload, (3, 4, 0, 1, 2))
-    data = jnp.pad(data, ((0, 0), (0, 0), (0, 0), (0, 0), (0, zpad(z) - z)))
-    return SlotMajorTable(data=data, lost=table.lost, grid_dim=tuple(grid_dim))
+
+    def to_kxyz(a):  # [X,Y,Z,K] -> [K,X,Y,Zp]
+        a = jnp.transpose(a, (3, 0, 1, 2))
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, zpad(z) - z)))
+
+    posq = jnp.stack(
+        [to_kxyz(table.pos[..., a] * validf) for a in range(3)] + [to_kxyz(validf)],
+        axis=1,
+    )
+    vel = [to_kxyz(table.vel[..., a] * validf) for a in range(3)]
+    aff = [
+        to_kxyz(table.affine[..., i, j] * validf) for i in range(3) for j in range(3)
+    ]
+    dyn = jnp.stack(pack_dyn(vel, aff), axis=1)
+    return SlotMajorTable(posq=posq, dyn=dyn, lost=table.lost, grid_dim=tuple(grid_dim))
 
 
 def to_table(sm: SlotMajorTable) -> ParticleTable:
     """Resident slot-major -> ParticleTable (host readback/tests only)."""
     x, y, z = sm.grid_dim
     k = sm.capacity
-    data = sm.data[:, :, :, :, :z]
-    payload = jnp.transpose(data, (2, 3, 4, 0, 1))  # [X,Y,Z,K,16]
+
+    def to_xyzk(a):  # [K,X,Y,Zp] -> [X,Y,Z,K]
+        return jnp.transpose(a[:, :, :, :z], (1, 2, 3, 0))
+
+    pos = jnp.stack([to_xyzk(sm.posq[:, a]) for a in range(3)], axis=-1)
+    vel_p, aff_p = unpack_dyn([sm.dyn[:, c] for c in range(NUM_DYN)])
+    vel = jnp.stack([to_xyzk(v) for v in vel_p], axis=-1)
+    aff = jnp.stack([to_xyzk(a) for a in aff_p], axis=-1).reshape(
+        (x, y, z, k, 3, 3)
+    )
     return ParticleTable(
-        pos=payload[..., 0:3],
-        vel=payload[..., 3:6],
-        affine=payload[..., 6:15].reshape((x, y, z, k, 3, 3)),
-        valid=payload[..., 15] > 0.5,
+        pos=pos,
+        vel=vel,
+        affine=aff,
+        valid=to_xyzk(sm.posq[:, CH_VALID]) > 0.5,
         lost=sm.lost,
     )

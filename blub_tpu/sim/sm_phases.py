@@ -3,7 +3,8 @@ density position correction.
 
 Same math as dense_transfer.marker_from_table / dense_advect.advect_dense /
 correct_particles_dense (the oracles, layout [X,Y,Z,K,*]) but consuming the
-resident ``SlotMajorTable.data f32[K,16,X,Y,Zp]`` directly — no transposes.
+resident ``SlotMajorTable`` (posq f32[K,4,X,Y,Zp] + bf16-packed dyn
+f32[K,6,X,Y,Zp], see slot_major.py) directly — no transposes.
 Grid inputs ([X,Y,Z]) are zero-padded to Zp on entry (cheap; tables are 16x
 bigger than grids). Equivalence is regression-tested per phase
 (tests/test_sm_phases.py).
@@ -25,7 +26,7 @@ from ..core.types import CELL_AIR, CELL_FLUID, CELL_SOLID
 from .advect import StaggeredSamples, _clamp_step_to_cell, _rk4, _trilinear, g2p_apic
 from .dense_advect import MAX_ADVECT_MOVE, MAX_CORRECT_MOVE
 from .gridops import border_mask
-from .slot_major import CH_VALID, SlotMajorTable
+from .slot_major import CH_VALID, SlotMajorTable, pack_dyn
 
 
 def _pad_grid(g: jax.Array, zp: int) -> jax.Array:
@@ -50,16 +51,16 @@ def _cellf(shape4) -> jax.Array:
     )
 
 
-def _pos_t(data: jax.Array) -> jax.Array:
+def _pos_t(posq: jax.Array) -> jax.Array:
     """pos channels -> [K,X,Y,Zp,3]."""
-    return jnp.moveaxis(data[:, 0:3], 1, -1)
+    return jnp.moveaxis(posq[:, 0:3], 1, -1)
 
 
 def marker_from_slot_major(sm: SlotMajorTable, solid_occupancy) -> jax.Array:
     """Marker grid [X,Y,Z] i8 from the resident table — port of
     dense_transfer.marker_from_table (same 3-bit primal-offset code rolls)."""
     x, y, z = sm.grid_dim
-    data = sm.data
+    data = sm.posq
     pos = data[:, 0:3]  # [K,3,X,Y,Zp]
     valid = data[:, CH_VALID] > 0.5  # [K,X,Y,Zp]
     prim = jnp.floor(pos) - jnp.floor(pos - 0.5)  # 0/1 f32
@@ -161,18 +162,22 @@ def _e(axis: int, sign: int):
 
 
 def _repack(
-    data: jax.Array, new_pos, new_vel, new_aff, validb
-) -> jax.Array:
-    """Rebuild the 16-channel array, masking writes by validity so invalid
-    slots (and z padding) stay exactly zero."""
+    posq: jax.Array, new_pos, new_vel, new_aff, validb
+):
+    """Rebuild (posq, dyn), masking writes by validity so invalid slots (and
+    z padding) stay exactly zero; velocity/affine quantize-pack to bf16
+    pairs exactly as the Pallas advect kernel does (slot_major.pack_dyn)."""
     vf = validb[..., None]
     pos_c = jnp.moveaxis(jnp.where(vf, new_pos, 0.0), -1, 1)
-    vel_c = jnp.moveaxis(jnp.where(vf, new_vel, 0.0), -1, 1)
-    k, x, y, zp = data.shape[0], data.shape[2], data.shape[3], data.shape[4]
-    aff_c = jnp.moveaxis(
-        jnp.where(validb[..., None, None], new_aff, 0.0).reshape(k, x, y, zp, 9), -1, 1
-    )
-    return jnp.concatenate([pos_c, vel_c, aff_c, data[:, CH_VALID : CH_VALID + 1]], axis=1)
+    new_posq = jnp.concatenate([pos_c, posq[:, CH_VALID : CH_VALID + 1]], axis=1)
+    vel_q = [jnp.where(validb, new_vel[..., a], 0.0) for a in range(3)]
+    aff_q = [
+        jnp.where(validb, new_aff[..., i, j], 0.0)
+        for i in range(3)
+        for j in range(3)
+    ]
+    new_dyn = jnp.stack(pack_dyn(vel_q, aff_q), axis=1)
+    return new_posq, new_dyn
 
 
 def advect_slot_major(
@@ -186,7 +191,7 @@ def advect_slot_major(
     dense_advect.advect_dense (cites advect_particles.comp:1-193; see the
     oracle for the documented deviations). Caller must rebin(max_shift=2)."""
     x, yd, z = sm.grid_dim
-    data = sm.data
+    data = sm.posq
     zp = data.shape[-1]
     grid_max = jnp.asarray((x, yd, z), jnp.float32) - 1.001
     vel_p = tuple(_pad_grid(v, zp) for v in vel_grids)
@@ -258,8 +263,10 @@ def advect_slot_major(
     new_pos = jnp.where(penetrates[..., None], corrected_pos, new_pos)
     velocity = jnp.where(penetrates[..., None], corrected_vel, velocity)
 
-    new_data = _repack(data, new_pos, velocity, affine, validb)
-    return SlotMajorTable(data=new_data, lost=sm.lost, grid_dim=sm.grid_dim)
+    new_posq, new_dyn = _repack(data, new_pos, velocity, affine, validb)
+    return SlotMajorTable(
+        posq=new_posq, dyn=new_dyn, lost=sm.lost, grid_dim=sm.grid_dim
+    )
 
 
 def correct_slot_major(
@@ -268,7 +275,7 @@ def correct_slot_major(
     """Density-projection position correction — port of
     dense_advect.correct_particles_dense. Caller must rebin(max_shift=1)."""
     x, yd, z = sm.grid_dim
-    data = sm.data
+    data = sm.posq
     zp = data.shape[-1]
     grid_max = jnp.asarray((x, yd, z), jnp.float32) - 1.001
     change_p = tuple(_pad_grid(c, zp) for c in change)
@@ -295,5 +302,8 @@ def correct_slot_major(
     new_pos = jnp.where(penetrates[..., None], corrected, new_pos)
 
     pos_c = jnp.moveaxis(jnp.where(validb[..., None], new_pos, 0.0), -1, 1)
-    new_data = jnp.concatenate([pos_c, data[:, 3:]], axis=1)
-    return SlotMajorTable(data=new_data, lost=sm.lost, grid_dim=sm.grid_dim)
+    new_posq = jnp.concatenate([pos_c, data[:, CH_VALID : CH_VALID + 1]], axis=1)
+    # dyn untouched: position correction moves particles only
+    return SlotMajorTable(
+        posq=new_posq, dyn=sm.dyn, lost=sm.lost, grid_dim=sm.grid_dim
+    )

@@ -47,14 +47,20 @@ def _assert_tables_close(ref_sm, got_sm, pos_only=False):
         np.asarray(ref.pos)[valid], np.asarray(got.pos)[valid], atol=1e-5
     )
     if not pos_only:
+        # vel/affine are bf16-quantized by both sides from f32 values that
+        # differ by op order -> up to 1 bf16 ulp apart
         np.testing.assert_allclose(
-            np.asarray(ref.vel)[valid], np.asarray(got.vel)[valid], atol=1e-4
+            np.asarray(ref.vel)[valid], np.asarray(got.vel)[valid],
+            rtol=1e-2, atol=1e-2,
         )
         np.testing.assert_allclose(
-            np.asarray(ref.affine)[valid], np.asarray(got.affine)[valid], atol=1e-4
+            np.asarray(ref.affine)[valid], np.asarray(got.affine)[valid],
+            rtol=1e-2, atol=1e-2,
         )
     # invalid slots and z padding must stay exactly zero
-    assert not np.any(np.asarray(got_sm.data[:, :15]) * (1.0 - np.asarray(got_sm.data[:, 15:16])))
+    inval = 1.0 - np.asarray(got_sm.posq[:, 3:4])
+    assert not np.any(np.asarray(got_sm.posq[:, :3]) * inval)
+    assert not np.any(np.asarray(got_sm.dyn) * inval)
 
 
 def test_advect_kernel_matches_oracle():
@@ -84,12 +90,12 @@ def test_advect_kernel_traced_dt():
     vel = _grids(seed=7)
 
     def run(dt):
-        return advect_sm_pallas(sm, vel, None, None, dt, interpret=True).data
+        return advect_sm_pallas(sm, vel, None, None, dt, interpret=True)
 
     dt = jnp.float32(1.0 / 120.0)
     ref = advect_slot_major(sm, vel, None, None, float(dt))
     got = jax.jit(run)(dt)
-    np.testing.assert_allclose(np.asarray(ref.data), np.asarray(got), atol=1e-4)
+    _assert_tables_close(ref, got)
 
 
 def test_correct_kernel_matches_oracle():

@@ -38,7 +38,12 @@ def test_p2g_kernel_matches_dense():
     vel_ref = p2g_velocity_dense(tab, marker, GRAV, DT)
     vel_p, _ = p2g_velocity_density_pallas(tab, marker, GRAV, DT, interpret=True)
     for c in range(3):
-        np.testing.assert_allclose(np.asarray(vel_ref[c]), np.asarray(vel_p[c]), atol=1e-5)
+        # the kernel consumes the slot-major table, whose vel/affine are
+        # stored bf16 (slot_major.py) — tolerance is bf16 rounding of the
+        # ~|10| particle velocities, not kernel math error
+        np.testing.assert_allclose(
+            np.asarray(vel_ref[c]), np.asarray(vel_p[c]), rtol=1e-2, atol=5e-2
+        )
 
 
 def test_density_kernel_matches_dense():

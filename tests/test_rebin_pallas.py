@@ -1,8 +1,9 @@
 """Pallas rebin kernel vs the XLA rebin oracle (interpret mode on CPU).
 
-Equivalence is per-cell particle MULTISETS (bit-exact 16-channel rows) plus
-the lost counter: slot ORDER may legitimately differ because the kernel's
-early-exit is per block while the XLA oracle's is global."""
+Equivalence is per-cell particle MULTISETS (bit-exact rows, with the oracle's
+vel/affine bf16-quantized like the packed table stores them) plus the lost
+counter: slot ORDER may legitimately differ because the kernel's early-exit
+is per block while the XLA oracle's is global."""
 
 import collections
 import dataclasses
@@ -54,17 +55,23 @@ def _cell_multiset(tab):
     return out
 
 
+def _quantized(tab):
+    """bf16-quantize vel/affine the way from_table does, so the f32 XLA
+    oracle's multiset is comparable with the packed kernel table's."""
+    return to_table(from_table(tab))
+
+
 def _assert_equivalent(tab, max_shift):
-    ref = T.rebin(tab, max_shift=max_shift)
+    ref = _quantized(T.rebin(tab, max_shift=max_shift))
     got = to_table(rebin_slot_major(from_table(tab), max_shift, interpret=True))
     assert int(got.lost) == int(ref.lost), (int(got.lost), int(ref.lost))
     a, b = _cell_multiset(ref), _cell_multiset(got)
     assert a == b, f"multiset mismatch: only-ref={len(a - b)} only-kernel={len(b - a)}"
     # the kernel output must keep the invariant that invalid slots are all-zero
     sm = rebin_slot_major(from_table(tab), max_shift, interpret=True)
-    d = np.asarray(sm.data)
-    invalid = d[:, 15:16] < 0.5  # [K,1,X,Y,Zp]
-    assert not np.any(np.abs(d) * invalid), "invalid slots carry nonzero payload"
+    invalid = np.asarray(sm.posq[:, 3:4]) < 0.5  # [K,1,X,Y,Zp]
+    assert not np.any(np.abs(np.asarray(sm.posq[:, :3])) * invalid)
+    assert not np.any(np.abs(np.asarray(sm.dyn)) * invalid)
 
 
 def test_rebin_kernel_matches_oracle_shift1():
@@ -81,7 +88,7 @@ def test_rebin_kernel_no_movers_identity():
     tab = _table(seed=2)
     got = to_table(rebin_slot_major(from_table(tab), 2, interpret=True))
     assert int(got.lost) == 0
-    assert _cell_multiset(got) == _cell_multiset(tab)
+    assert _cell_multiset(got) == _cell_multiset(_quantized(tab))
 
 
 def test_rebin_kernel_overflow_matches_lost():
@@ -98,4 +105,4 @@ def test_rebin_kernel_overflow_matches_lost():
     got = to_table(rebin_slot_major(from_table(tab), 2, interpret=True))
     assert int(ref.lost) > 0  # the scenario really overflows
     assert int(got.lost) == int(ref.lost)
-    assert _cell_multiset(ref) == _cell_multiset(got)
+    assert _cell_multiset(_quantized(ref)) == _cell_multiset(got)

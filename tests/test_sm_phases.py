@@ -67,11 +67,14 @@ def test_advect_matches_oracle():
         np.testing.assert_allclose(
             np.asarray(ref.pos)[valid], np.asarray(got.pos)[valid], atol=1e-6
         )
+        # the slot-major table stores vel/affine bf16-quantized
         np.testing.assert_allclose(
-            np.asarray(ref.vel)[valid], np.asarray(got.vel)[valid], atol=1e-5
+            np.asarray(ref.vel)[valid], np.asarray(got.vel)[valid],
+            rtol=1e-2, atol=1e-2,
         )
         np.testing.assert_allclose(
-            np.asarray(ref.affine)[valid], np.asarray(got.affine)[valid], atol=1e-5
+            np.asarray(ref.affine)[valid], np.asarray(got.affine)[valid],
+            rtol=1e-2, atol=1e-2,
         )
 
 
@@ -136,6 +139,7 @@ def test_full_step_matches_oracle():
         sum(only_a.values()), sum(only_b.values()),
     )
     assert int(out_sm.stats_vel.iterations) == int(out_pt.stats_vel.iterations)
+    # sm max_speed reads bf16-stored velocities
     np.testing.assert_allclose(
-        float(out_sm.max_speed), float(out_pt.max_speed), rtol=1e-4
+        float(out_sm.max_speed), float(out_pt.max_speed), rtol=1e-2
     )
