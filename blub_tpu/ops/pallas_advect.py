@@ -257,6 +257,33 @@ def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids):
     j = pl.program_id(1)
     dt = dt_ref[0]
     zp = posq_ref.shape[-1]
+    k = posq_ref.shape[0]
+
+    # air blocks (no particles) skip everything, grid-window DMAs included
+    has_particles = jnp.any(posq_ref[:, CH_VALID] > 0.5)
+
+    @pl.when(jnp.logical_not(has_particles))
+    def _empty():
+        outp_ref[...] = jnp.zeros((k, NUM_POSQ, bx, by, zp), jnp.float32)
+        outd_ref[...] = jnp.zeros((k, NUM_DYN, bx, by, zp), jnp.float32)
+
+    @pl.when(has_particles)
+    def _run():
+        _advect_block(
+            dt, posq_ref, grids, outp_ref, outd_ref, sems, i, j,
+            bx=bx, by=by, X=X, Y=Y, grid_dim=grid_dim, with_solids=with_solids,
+        )
+
+
+def _advect_block(
+    dt, posq_ref, grids, outp_ref, outd_ref, sems, i, j,
+    *, bx, by, X, Y, grid_dim, with_solids,
+):
+    zp = posq_ref.shape[-1]
+    if with_solids:
+        (_, wv0, _), (_, wv1, _), (_, wv2, _), (_, wocc, _), (_, ws0, _), (_, ws1, _), (_, ws2, _) = grids
+    else:
+        (_, wv0, _), (_, wv1, _), (_, wv2, _) = grids
 
     copies = []
     for n, (g, w, hx) in enumerate(grids):
@@ -362,6 +389,28 @@ def _correct_kernel(*refs, bx, by, X, Y, grid_dim):
     i = pl.program_id(0)
     j = pl.program_id(1)
     zp = posq_ref.shape[-1]
+    k = posq_ref.shape[0]
+
+    # air blocks (no particles) skip everything, grid-window DMAs included
+    has_particles = jnp.any(posq_ref[:, CH_VALID] > 0.5)
+
+    @pl.when(jnp.logical_not(has_particles))
+    def _empty():
+        out_ref[...] = jnp.zeros((k, NUM_POSQ, bx, by, zp), jnp.float32)
+
+    @pl.when(has_particles)
+    def _run():
+        _correct_block(
+            posq_ref, (c0, wc0), (c1, wc1), (c2, wc2), (mk, wmk), out_ref,
+            sems, i, j, bx=bx, by=by, X=X, Y=Y, grid_dim=grid_dim,
+        )
+
+
+def _correct_block(
+    posq_ref, g0, g1, g2, gm, out_ref, sems, i, j, *, bx, by, X, Y, grid_dim
+):
+    zp = posq_ref.shape[-1]
+    (c0, wc0), (c1, wc1), (c2, wc2), (mk, wmk) = g0, g1, g2, gm
 
     copies = []
     for n, (g, w) in enumerate(((c0, wc0), (c1, wc1), (c2, wc2), (mk, wmk))):

@@ -15,11 +15,18 @@ rectangle DMAs (3 x-parts x 3 y-parts, edge parts clamped into bounds).
 Clamped duplicate rows need no masking: the in-kernel bin check
 (floor(pos-0.5) == cell + offset, on absolute positions) zeroes them exactly.
 
-Outputs are the raw accumulators [7, X, Y, Zp]:
+Outputs are the raw accumulators:
   0..2: Shepard weight sums per velocity component
   3..5: weighted APIC velocity sums
-  6:    particle density at cell centers
+  [6]:  particle density at cell centers (when with_density)
+  last: FLUID count — number of valid particles whose PRIMAL cell
+        (floor(pos)) is this cell. This folds the marker pass's table sweep
+        into the window already resident here (the reference marks fluid
+        during its linked-list build for the same reason,
+        transfer_build_linkedlist.comp:24-26); the cheap border/solid
+        overrides stay in XLA (sim/sm_phases.marker_from_counts).
 Marker-based masking/normalization/gravity stay outside (cheap dense XLA).
+Blocks whose window holds no particles early-exit to a zero write.
 """
 
 from __future__ import annotations
@@ -101,81 +108,111 @@ def _kernel(
     gy = (j * by + jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 1)).astype(jnp.float32)
     gz = jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 2).astype(jnp.float32)
 
-    n_out = 1 if density_only else (6 if velocity_only else 7)
-    acc = [jnp.zeros((bx, by, z), jnp.float32) for _ in range(n_out)]
+    n_out = 2 if density_only else (7 if velocity_only else 8)
 
-    offsets = (
-        tuple(o for o in _OFFSETS if all(v <= 0 for v in o)) if density_only else _OFFSETS
-    )
-    for off in offsets:
-        ox, oy, oz = off
+    # block-level early-exit: air blocks (no particles anywhere in the
+    # window) are common in free-surface scenes and cost only this reduce
+    has_particles = jnp.any(winp[:, 3] > 0.5)
 
-        def slabify(win, o=off):
-            s = win[:, :, 1 + o[0] : 1 + o[0] + bx, _YH + o[1] : _YH + o[1] + by, :]
-            if o[2] != 0:
-                # read[z] = value[z+oz]; the wrap-around rows fail the bin
-                # check below, so a cyclic lane roll is safe (cheap on VPU).
-                s = jnp.roll(s, -o[2], axis=4)
-            return s
+    @pl.when(jnp.logical_not(has_particles))
+    def _empty():
+        out_ref[...] = jnp.zeros((n_out, bx, by, z), jnp.float32)
 
-        slabp = slabify(winp)
-        p0 = slabp[:, 0]
-        p1 = slabp[:, 1]
-        p2 = slabp[:, 2]
-        # Only count particles whose dual bin really is (cell + off): this
-        # enforces the table's bin invariant in-kernel AND exactly zeroes the
-        # clamped duplicate window rows and z-roll wraps.
-        valid = (
-            slabp[:, 3]
-            * (jnp.floor(p0 - 0.5) == gx[None] + ox)
-            * (jnp.floor(p1 - 0.5) == gy[None] + oy)
-            * (jnp.floor(p2 - 0.5) == gz[None] + oz)
+    @pl.when(has_particles)
+    def _accumulate():
+        acc = [jnp.zeros((bx, by, z), jnp.float32) for _ in range(n_out)]
+
+        offsets = (
+            tuple(o for o in _OFFSETS if all(v <= 0 for v in o))
+            if density_only
+            else _OFFSETS
         )
+        for off in offsets:
+            ox, oy, oz = off
 
-        if not density_only:
-            slabd = slabify(wind)
-            vel = (
-                unpack_hi(slabd[:, 0]),
-                unpack_lo(slabd[:, 0]),
-                unpack_hi(slabd[:, 1]),
+            def slabify(win, o=off):
+                s = win[:, :, 1 + o[0] : 1 + o[0] + bx, _YH + o[1] : _YH + o[1] + by, :]
+                if o[2] != 0:
+                    # read[z] = value[z+oz]; the wrap-around rows fail the bin
+                    # check below, so a cyclic lane roll is safe (VPU-cheap).
+                    s = jnp.roll(s, -o[2], axis=4)
+                return s
+
+            slabp = slabify(winp)
+            p0 = slabp[:, 0]
+            p1 = slabp[:, 1]
+            p2 = slabp[:, 2]
+            # Only count particles whose dual bin really is (cell + off): this
+            # enforces the table's bin invariant in-kernel AND exactly zeroes
+            # the clamped duplicate window rows and z-roll wraps.
+            valid = (
+                slabp[:, 3]
+                * (jnp.floor(p0 - 0.5) == gx[None] + ox)
+                * (jnp.floor(p1 - 0.5) == gy[None] + oy)
+                * (jnp.floor(p2 - 0.5) == gz[None] + oz)
             )
-            aff = (
-                unpack_lo(slabd[:, 1]), unpack_hi(slabd[:, 2]), unpack_lo(slabd[:, 2]),
-                unpack_hi(slabd[:, 3]), unpack_lo(slabd[:, 3]), unpack_hi(slabd[:, 4]),
-                unpack_lo(slabd[:, 4]), unpack_hi(slabd[:, 5]), unpack_lo(slabd[:, 5]),
-            )
-            for c in range(3):
-                sx, sy, sz = _STAGS[c]
-                dx = gx[None] + sx - p0
-                dy = gy[None] + sy - p1
-                dz = gz[None] + sz - p2
-                w = (
-                    jnp.clip(1.0 - jnp.abs(dx), 0.0, 1.0)
-                    * jnp.clip(1.0 - jnp.abs(dy), 0.0, 1.0)
-                    * jnp.clip(1.0 - jnp.abs(dz), 0.0, 1.0)
-                    * valid
+
+            # shared trilinear stagger factors: component weights differ only
+            # in which axis uses the 1.0-staggered factor, so 6 factors serve
+            # all three components AND the cell-centered density
+            dx5 = gx[None] + 0.5 - p0
+            dy5 = gy[None] + 0.5 - p1
+            dz5 = gz[None] + 0.5 - p2
+            fx5 = jnp.clip(1.0 - jnp.abs(dx5), 0.0, 1.0)
+            fy5 = jnp.clip(1.0 - jnp.abs(dy5), 0.0, 1.0)
+            fz5 = jnp.clip(1.0 - jnp.abs(dz5), 0.0, 1.0)
+
+            if not density_only:
+                dx1 = dx5 + 0.5
+                dy1 = dy5 + 0.5
+                dz1 = dz5 + 0.5
+                fx1 = jnp.clip(1.0 - jnp.abs(dx1), 0.0, 1.0)
+                fy1 = jnp.clip(1.0 - jnp.abs(dy1), 0.0, 1.0)
+                fz1 = jnp.clip(1.0 - jnp.abs(dz1), 0.0, 1.0)
+                ds = ((dx1, dy5, dz5), (dx5, dy1, dz5), (dx5, dy5, dz1))
+                ws = (
+                    fx1 * (fy5 * fz5) * valid,
+                    fx5 * (fy1 * fz5) * valid,
+                    (fx5 * fy5) * fz1 * valid,
                 )
-                val = w * (
-                    vel[c] + aff[3 * c] * dx + aff[3 * c + 1] * dy + aff[3 * c + 2] * dz
+
+                slabd = slabify(wind)
+                vel = (
+                    unpack_hi(slabd[:, 0]),
+                    unpack_lo(slabd[:, 0]),
+                    unpack_hi(slabd[:, 1]),
                 )
-                acc[c] = acc[c] + jnp.sum(w, axis=0)
-                acc[3 + c] = acc[3 + c] + jnp.sum(val, axis=0)
+                aff = (
+                    unpack_lo(slabd[:, 1]), unpack_hi(slabd[:, 2]), unpack_lo(slabd[:, 2]),
+                    unpack_hi(slabd[:, 3]), unpack_lo(slabd[:, 3]), unpack_hi(slabd[:, 4]),
+                    unpack_lo(slabd[:, 4]), unpack_hi(slabd[:, 5]), unpack_lo(slabd[:, 5]),
+                )
+                for c in range(3):
+                    w = ws[c]
+                    dx, dy, dz = ds[c]
+                    val = w * (
+                        vel[c] + aff[3 * c] * dx + aff[3 * c + 1] * dy + aff[3 * c + 2] * dz
+                    )
+                    acc[c] = acc[c] + jnp.sum(w, axis=0)
+                    acc[3 + c] = acc[3 + c] + jnp.sum(val, axis=0)
 
-        if not velocity_only:
-            # density: sample at cell centers
-            dx = gx[None] + 0.5 - p0
-            dy = gy[None] + 0.5 - p1
-            dz = gz[None] + 0.5 - p2
-            w = (
-                jnp.clip(1.0 - jnp.abs(dx), 0.0, 1.0)
-                * jnp.clip(1.0 - jnp.abs(dy), 0.0, 1.0)
-                * jnp.clip(1.0 - jnp.abs(dz), 0.0, 1.0)
-                * valid
-            )
-            acc[-1] = acc[-1] + jnp.sum(w, axis=0)
+            if not velocity_only:
+                # density: sample at cell centers
+                acc[-2] = acc[-2] + jnp.sum(fx5 * fy5 * fz5 * valid, axis=0)
 
-    for q in range(n_out):
-        out_ref[q] = acc[q]
+            if all(v <= 0 for v in off):
+                # fluid marking: particles whose PRIMAL cell (floor(pos)) is
+                # this cell all live in dual bins at offsets {-1,0}^3
+                prim = (
+                    valid
+                    * (jnp.floor(p0) == gx[None])
+                    * (jnp.floor(p1) == gy[None])
+                    * (jnp.floor(p2) == gz[None])
+                )
+                acc[-1] = acc[-1] + jnp.sum(prim, axis=0)
+
+        for q in range(n_out):
+            out_ref[q] = acc[q]
 
 
 @functools.partial(
@@ -186,13 +223,14 @@ def p2g_accumulate(
     interpret: bool = False,
     density_only: bool = False, velocity_only: bool = False,
 ) -> jax.Array:
-    """Slot-major table -> f32[7|6|1, X, Y, Zp] raw accumulators."""
+    """Slot-major table -> f32[8|7|2, X, Y, Zp] raw accumulators (the last
+    channel is always the primal-cell fluid count)."""
     k, chp, x, y, zp = posq.shape
     assert chp == NUM_POSQ, chp
     assert x % bx == 0 and y % by == 0 and by % 8 == 0, (x, y, bx, by)
     assert not (density_only and velocity_only)
 
-    n_out = 1 if density_only else (6 if velocity_only else 7)
+    n_out = 2 if density_only else (7 if velocity_only else 8)
     grid = (x // bx, y // by)
     kernel = functools.partial(
         _kernel, bx=bx, by=by, X=x, Y=y, z=zp,
@@ -246,16 +284,19 @@ def _as_slot_major(table) -> SlotMajorTable:
     return table if isinstance(table, SlotMajorTable) else from_table(table)
 
 
-def p2g_density_pallas(table, interpret: bool = False) -> jax.Array:
-    """Particle density only (post-advect pass): 8-offset window, 1 output,
-    positions-only window (density reads no velocities). Accepts a
-    ParticleTable (converts) or the resident SlotMajorTable."""
+def p2g_density_pallas(table, interpret: bool = False, with_fluid: bool = False):
+    """Particle density (post-advect pass): 8-offset window, positions-only
+    window (density reads no velocities). Accepts a ParticleTable (converts)
+    or the resident SlotMajorTable. With ``with_fluid``, also returns the
+    primal-cell fluid count (for marker_from_counts)."""
     sm = _as_slot_major(table)
     x, y, z = sm.grid_dim
     bx, by = _pick_blocks(x, y, sm.zp, sm.capacity)
     acc = p2g_accumulate(
         sm.posq, None, bx=bx, by=by, interpret=interpret, density_only=True
     )
+    if with_fluid:
+        return acc[0, :, :, :z], acc[1, :, :, :z]
     return acc[0, :, :, :z]
 
 
@@ -269,15 +310,9 @@ def supports(grid_dim, capacity: int) -> bool:
     return capacity * nch * 3 * (8 + 2 * _YH) * zp * 4 <= (64 << 20)
 
 
-def p2g_velocity_density_pallas(
-    table, marker: jax.Array, gravity_grid: Tuple[float, float, float], dt,
-    interpret: bool = False, with_density: bool = True,
-):
-    """Drop-in replacement for dense_transfer.p2g_velocity_dense (+
-    p2g_density_dense when with_density). Returns ((vx,vy,vz), density|None)."""
-    from ..core.types import CELL_FLUID, CELL_SOLID
-    from ..sim.gridops import shift
-
+def p2g_raw_accumulators(table, interpret: bool = False, with_density: bool = True):
+    """Raw accumulator grids [7|8, X, Y, Z] (weights, weighted velocities,
+    [density], fluid count) — one table pass serving P2G AND the marker."""
     sm = _as_slot_major(table)
     x, y, z = sm.grid_dim
     bx, by = _pick_blocks(x, y, sm.zp, sm.capacity)
@@ -285,7 +320,13 @@ def p2g_velocity_density_pallas(
         sm.posq, sm.dyn, bx=bx, by=by, interpret=interpret,
         velocity_only=not with_density,
     )
-    acc = acc[..., :z]
+    return acc[..., :z]
+
+
+def normalize_velocity(acc, marker, gravity_grid, dt):
+    """Marker-gated Shepard normalization + gravity (the XLA tail of P2G)."""
+    from ..core.types import CELL_FLUID, CELL_SOLID
+    from ..sim.gridops import shift
 
     markerf = marker.astype(jnp.float32)
     vel_out = []
@@ -299,4 +340,18 @@ def p2g_velocity_density_pallas(
         wsum = acc[c]
         vnorm = jnp.where(wsum > 0.0, acc[3 + c] / jnp.where(wsum > 0.0, wsum, 1.0), 0.0)
         vel_out.append(jnp.where(writes & computes, vnorm + gravity_grid[c] * dt, 0.0))
-    return tuple(vel_out), (acc[6] if with_density else None)
+    return tuple(vel_out)
+
+
+def p2g_velocity_density_pallas(
+    table, marker: jax.Array, gravity_grid: Tuple[float, float, float], dt,
+    interpret: bool = False, with_density: bool = True,
+):
+    """Drop-in replacement for dense_transfer.p2g_velocity_dense (+
+    p2g_density_dense when with_density). Returns ((vx,vy,vz), density|None).
+    The production step uses p2g_raw_accumulators + normalize_velocity
+    directly (deriving the marker from the same pass); this wrapper keeps the
+    oracle-equivalence interface."""
+    acc = p2g_raw_accumulators(table, interpret=interpret, with_density=with_density)
+    vel = normalize_velocity(acc, marker, gravity_grid, dt)
+    return vel, (acc[6] if with_density else None)

@@ -13,8 +13,11 @@ Replaces the reference's binning pipeline (shader/simulation/
 particle_binning*.comp + hybrid_fluid.rs:854-894) — there binning is a perf
 nicety every 60 steps; here it is correctness-bearing and runs twice a step.
 
-Pack semantics are IDENTICAL to sim/table.py::rebin (same candidate order:
-offset ascending, then slot). All bin/flag arithmetic runs on the f32
+Pack semantics: per-cell particle multisets match sim/table.py::rebin exactly
+whenever nothing overflows (always, with CFL substepping + slack); under
+overflow the kept COUNT matches but the victim choice differs — stayers
+always survive here, the oracle keeps the first k_out candidates in offset
+order. All bin/flag arithmetic runs on the f32
 position channels (posq) on the VPU — never a matmul (MXU f32 matmuls run as
 bf16 on this platform; see tests/test_pallas.py::test_rebin_is_bit_exact).
 Payload transport is bit-exact for both arrays: posq moves as mask*value
@@ -194,104 +197,144 @@ def _stage_kernel(
 
     @pl.when(needs)
     def _pack():
+        # STAYERS-KEEP-SLOTS pack: a slot whose particle stays in its cell is
+        # select-copied in place; only MOVERS (particles changing bins along
+        # this axis) run the rank->empty-slot assignment arithmetic. In
+        # typical flow >90% of particles stay per substep, so this removes
+        # the offset-0 candidates that dominated the earlier running-count
+        # pack. Deviation from sim/table.py::rebin: per-cell multisets still
+        # match exactly when nothing overflows, and the LOST COUNT matches
+        # under overflow, but which particle drops on a (k_out+1)-crowded
+        # cell can differ (the oracle drops late candidates in offset order;
+        # this drops late movers — stayers always survive).
         gout = (
             gout_base + jax.lax.broadcasted_iota(jnp.int32, (bx, by, Zp), axis)
         ).astype(jnp.float32)
-        # zero-init so the accumulation below can skip all-empty candidates
-        for q in range(k_out):
-            outp_ref[q] = jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32)
-            outd_ref[q] = jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32)
-        running = jnp.zeros((bx, by, Zp), jnp.int32)
-        c_idx = 0
-        for off in range(-s, s + 1):
-            # slab: candidate cells at (out cell + off) along the pack axis —
-            # static window slices (x/y) or a lane roll (z)
+
+        def slab_flags(off):
             if axis == 0:
                 sl = (slice(s + off, s + off + bx), slice(None), slice(None))
-                f_all = (
-                    wvalid[(slice(None),) + sl]
-                    & rowok[None][(slice(None),) + sl]
-                    & (wtarget[(slice(None),) + sl] == gout[None])
-                )
             elif axis == 1:
                 sl = (slice(None), slice(_YH + off, _YH + off + by), slice(None))
-                f_all = (
+            if axis != 2:
+                f = (
                     wvalid[(slice(None),) + sl]
                     & rowok[None][(slice(None),) + sl]
                     & (wtarget[(slice(None),) + sl] == gout[None])
                 )
-            else:
-                # jnp.roll(x, 0) lowers to a zero-size slice in Mosaic
-                def _zroll(a, o=off):
-                    return jnp.roll(a, -o, axis=-1) if o else a
+                return f, sl
+            # jnp.roll(x, 0) lowers to a zero-size slice in Mosaic
 
-                lane_ok = (riota + off >= 0) & (riota + off < Zp)
-                # roll the f32 valid channel: Mosaic can't roll i1 vregs
-                f_all = (
-                    (_zroll(winp[:, CH_VALID]) > 0.5)
-                    & lane_ok[None]
-                    & (_zroll(wtarget) == gout[None])
+            def _zroll(a, o=off):
+                return jnp.roll(a, -o, axis=-1) if o else a
+
+            lane_ok = (riota + off >= 0) & (riota + off < Zp)
+            # roll the f32 valid channel: Mosaic can't roll i1 vregs
+            f = (
+                (_zroll(winp[:, CH_VALID]) > 0.5)
+                & lane_ok[None]
+                & (_zroll(wtarget) == gout[None])
+            )
+            return f, None
+
+        def payloads(k, off, sl):
+            if axis == 2 and off:
+                return (
+                    jnp.roll(winp[k], -off, axis=-1),
+                    jnp.roll(wind[k], -off, axis=-1),
                 )
+            if axis == 2:
+                return winp[k], wind[k]
+            return winp[k][(slice(None),) + sl], wind[k][(slice(None),) + sl]
+
+        # --- offset 0: stayers keep their slots; build the empty-slot ranks
+        f0, sl0 = slab_flags(0)
+        empties = []
+        eranks = []  # inclusive prefix count of empty slots, per cell
+        ecount = jnp.zeros((bx, by, Zp), jnp.int32)
+        for q in range(k_out):
+            if q < k_in:
+                sq = f0[q]
+                pay_p, pay_d = payloads(q, 0, sl0)
+                # select is pure data movement — bit-exact for both arrays
+                outp_ref[q] = jnp.where(sq[None], pay_p, 0.0)
+                outd_ref[q] = jnp.where(sq[None], pay_d, 0.0)
+                eq = jnp.logical_not(sq)
+            else:
+                outp_ref[q] = jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32)
+                outd_ref[q] = jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32)
+                eq = jnp.ones((bx, by, Zp), jnp.bool_)
+            ecount = ecount + eq.astype(jnp.int32)
+            empties.append(eq)
+            eranks.append(ecount)
+
+        # scalar plausibility bounds per 4-slot group (erank is monotone in q)
+        gq0s = list(range(0, k_out, 4))
+        gbounds = [
+            (jnp.min(eranks[q0]), jnp.max(eranks[min(q0 + 3, k_out - 1)]))
+            for q0 in gq0s
+        ]
+
+        def assign(fk, rk, pay_p, pay_d):
+            """Route a mover candidate's arrivals: the (rk+1)-th empty slot
+            per cell. Scalar-gated per 4-slot group; payload transport is
+            m*value for f32 posq and select+integer-OR for the packed dyn
+            (f32 arithmetic must never touch packed bits: a pair with
+            hi == 0.0 reads as an f32 DENORMAL and the VPU flushes those)."""
+            rlo = jnp.min(jnp.where(fk, rk, k_out)) + 1
+            rhi = jnp.max(jnp.where(fk, rk, -1)) + 1
+            pay_i = jax.lax.bitcast_convert_type(pay_d, jnp.int32)
+            for gi, q0 in enumerate(gq0s):
+                glo, ghi = gbounds[gi]
+
+                @pl.when((glo <= rhi) & (ghi >= rlo))
+                def _grp(q0=q0, fk=fk, rk=rk, pay_p=pay_p, pay_i=pay_i):
+                    for q in range(q0, min(q0 + 4, k_out)):
+                        hit = fk & empties[q] & (eranks[q] == rk + 1)
+                        m = hit.astype(jnp.float32)[None]
+                        outp_ref[q] = outp_ref[q] + m * pay_p
+                        cur = jax.lax.bitcast_convert_type(
+                            outd_ref[q], jnp.int32
+                        )
+                        sel = jnp.where(hit[None], pay_i, 0)
+                        outd_ref[q] = jax.lax.bitcast_convert_type(
+                            cur | sel, jnp.float32
+                        )
+
+        r = jnp.zeros((bx, by, Zp), jnp.int32)
+        # tail stayers (slots being shrunk away when k_out < k_in) become the
+        # first movers: they must re-home into an empty surviving slot
+        for q in range(k_out, k_in):
+            fk = f0[q]
+            rk = r
+            r = r + fk.astype(jnp.int32)
+
+            @pl.when(jnp.any(fk))
+            def _tail(fk=fk, rk=rk, q=q):
+                pay_p, pay_d = payloads(q, 0, sl0)
+                assign(fk, rk, pay_p, pay_d)
+
+        for off in range(-s, s + 1):
+            if off == 0:
+                continue
+            f_all, sl = slab_flags(off)
             # data-dependent skips: a whole offset (e.g. +-2 in near-settled
-            # flow) or a slot (upper slots of half-full cells) with no
-            # arrivals anywhere in the block costs only its `any` reduce.
+            # flow) with no arrivals anywhere in the block costs one reduce
             off_any = jnp.any(f_all)
-            dests = []
+            rks = []
             for k in range(k_in):
-                dests.append(running)
-                running = running + f_all[k].astype(jnp.int32)
+                rks.append(r)
+                r = r + f_all[k].astype(jnp.int32)
 
             @pl.when(off_any)
-            def _accumulate(off=off, f_all=f_all, dests=dests, c_base=c_idx, sl_=sl if axis != 2 else None):
+            def _accumulate(off=off, f_all=f_all, rks=rks, sl=sl):
                 for k in range(k_in):
                     fk = f_all[k]
-                    dest = dests[k]
-                    if axis == 2:
-                        def _zroll2(a, o=off):
-                            return jnp.roll(a, -o, axis=-1) if o else a
-
-                        pay_p = _zroll2(winp[k])
-                        pay_d = _zroll2(wind[k])
-                    else:
-                        pay_p = winp[k][(slice(None),) + sl_]
-                        pay_d = wind[k][(slice(None),) + sl_]
 
                     @pl.when(jnp.any(fk))
-                    def _slot(fk=fk, dest=dest, pay_p=pay_p, pay_d=pay_d, c=c_base + k):
-                        # the candidate's arrivals land in output slots
-                        # [dlo, dhi] only (dest = per-cell running count);
-                        # scalar-gate the accumulate so calm blocks pay ~one
-                        # group of slots instead of min(c+1, k_out) — the
-                        # pack is compute-bound (PERF.md), this is the hot
-                        # loop. Gating happens per GROUP of 4 slots: per-q
-                        # regions made Mosaic compile time explode.
-                        dlo = jnp.min(jnp.where(fk, dest, k_out))
-                        dhi = jnp.max(jnp.where(fk, dest, -1))
-                        pay_i = jax.lax.bitcast_convert_type(pay_d, jnp.int32)
-                        n_q = min(c + 1, k_out)
-                        for q0 in range(0, n_q, 4):
-                            @pl.when((q0 + 3 >= dlo) & (q0 <= dhi))
-                            def _grp(q0=q0, n_q=n_q, fk=fk, dest=dest,
-                                     pay_p=pay_p, pay_i=pay_i):
-                                for q in range(q0, min(q0 + 4, n_q)):
-                                    hit = (dest == q) & fk
-                                    m = hit.astype(jnp.float32)[None]
-                                    outp_ref[q] = outp_ref[q] + m * pay_p
-                                    # packed bf16 pairs move through integer
-                                    # OR: writes are disjoint and f32
-                                    # arithmetic must never touch the packed
-                                    # bits (a pair with hi == 0.0 reads as an
-                                    # f32 DENORMAL, which the VPU would flush
-                                    # to zero on add)
-                                    cur = jax.lax.bitcast_convert_type(
-                                        outd_ref[q], jnp.int32
-                                    )
-                                    sel = jnp.where(hit[None], pay_i, 0)
-                                    outd_ref[q] = jax.lax.bitcast_convert_type(
-                                        cur | sel, jnp.float32
-                                    )
-
-            c_idx += k_in
+                    def _slot(fk=fk, rk=rks[k], k=k, off=off, sl=sl):
+                        pay_p, pay_d = payloads(k, off, sl)
+                        assign(fk, rk, pay_p, pay_d)
 
 
 @functools.partial(
@@ -385,15 +428,16 @@ _BUDGET = 26 << 20  # window + out block; Mosaic pack temporaries ride on top
 
 
 def supports(grid_dim, capacity: int, max_shift: int) -> bool:
-    """Whether the kernel path can run this configuration."""
+    """Whether the kernel path can run this configuration. Conservative
+    K+4-slot stage shapes for every axis (stage order y -> x -> z)."""
     X, Y, Z = grid_dim
     if Y % 8 or max_shift > _YH:
         return False
     zp = max(128, -(-Z // 128) * 128)
     for axis in range(3):
-        k_in = capacity + 4 if axis else capacity
-        k_out = capacity + 4 if axis < 2 else capacity
-        if _pick_blocks(axis, k_in, k_out, X, Y, max_shift, zp, _BUDGET) is None:
+        if _pick_blocks(
+            axis, capacity + 4, capacity + 4, X, Y, max_shift, zp, _BUDGET
+        ) is None:
             return False
     return True
 
@@ -418,8 +462,14 @@ def rebin_slot_major(
 ) -> SlotMajorTable:
     """Drop-in slot-major equivalent of sim/table.py::rebin: axis-split pack
     x -> y -> z with capacity K -> K+slack -> K+slack -> K. Per-cell particle
-    multisets match the XLA rebin exactly (slot order may differ when one
-    implementation's early-exit engages and the other's doesn't)."""
+    multisets match the XLA rebin exactly (slot order may differ; overflow
+    victims may differ — see the module docstring).
+
+    A whole-stage lax.cond skip on per-axis mover flags was tried and
+    REMOVED: on the benched flows (dam break, CFL-substepped) some particle
+    always moves along every axis, so the mover scan + cond boundaries cost
+    ~3 ms/step and never paid off; per-BLOCK early-exit inside the stage
+    kernel already covers calm regions at finer grain."""
     X, Y, Z = sm.grid_dim
     posq, dyn = sm.posq, sm.dyn
     k = posq.shape[0]

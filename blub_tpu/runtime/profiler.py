@@ -36,12 +36,15 @@ class PhaseTimer:
         self._t0 = time.perf_counter()
 
     @contextlib.contextmanager
-    def phase(self, name: str, sync=None):
+    def phase(self, name: str, sync=None, scale: int = 1):
+        """`scale`: the body ran the phase that many times (dispatches
+        pipeline on-device, amortizing the ~ms per-call tunnel overhead);
+        the recorded sample is the per-run mean."""
         start = time.perf_counter()
         yield
         if sync is not None:
             _sync(sync)
-        dur = time.perf_counter() - start
+        dur = (time.perf_counter() - start) / max(scale, 1)
         self.samples.setdefault(name, [])
         buf = self.samples[name]
         buf.append(dur)
@@ -165,7 +168,7 @@ def profile_step(params, state, solids=None, repeats: int = 3) -> Dict[str, floa
     return timer.mean_ms(), timer
 
 
-def profile_step_sm(params, state, solids=None, repeats: int = 3):
+def profile_step_sm(params, state, solids=None, repeats: int = 3, inner: int = 8):
     """Phase-by-phase timing of the slot-major (Pallas kernel) step path."""
     from ..ops.pallas_advect import advect_sm_pallas, correct_sm_pallas
     from ..ops.pallas_p2g import p2g_density_pallas, p2g_velocity_density_pallas
@@ -200,53 +203,37 @@ def profile_step_sm(params, state, solids=None, repeats: int = 3):
     f_rebin1 = jax.jit(lambda t: rebin_slot_major(t, max_shift=1))
 
     timer = PhaseTimer()
-    for r in range(repeats + 1):  # first pass compiles
+    inner = max(1, int(inner))
+
+    for r in range(repeats + 1):  # first pass compiles (and warms, inner=1)
+        n = 1 if r == 0 else inner
+
+        def timed(name, fn, *args):
+            # `n` identical dispatches pipeline on-device, amortizing the
+            # per-call tunnel overhead (~ms) that would otherwise swamp
+            # the cheap grid phases; sync once at the end.
+            with timer.phase(name, scale=n):
+                for _ in range(n):
+                    out = fn(*args)
+                _sync(out)
+            return out
+
         table = state.table
-        with timer.phase("marker", sync=None):
-            marker = f_marker(table)
-            _sync(marker)
-        with timer.phase("p2g velocity [pallas]"):
-            vel = f_p2g(table, marker)
-            _sync(vel)
-        with timer.phase("divergence rhs"):
-            rhs = f_div(vel, marker)
-            _sync(rhs)
-        with timer.phase("pcg velocity"):
-            p = f_solve(state.pressure_vel, rhs, marker)
-            _sync(p)
-        with timer.phase("divergence remove"):
-            vel = f_remove(vel, p, marker)
-            _sync(vel)
-        with timer.phase("extrapolate"):
-            vel = f_extrap(vel, marker)
-            _sync(vel)
-        with timer.phase("advect (g2p+rk4)"):
-            table = f_advect(table, vel)
-            _sync(table)
-        with timer.phase("rebin +-2 [pallas]"):
-            table = f_rebin2(table)
-            _sync(table)
-        with timer.phase("marker 2"):
-            marker2 = f_marker(table)
-            _sync(marker2)
-        with timer.phase("density gather [pallas]"):
-            rho = f_rho(table)
-            _sync(rho)
-        with timer.phase("density rhs"):
-            drhs = f_rho_rhs(rho, marker2)
-            _sync(drhs)
-        with timer.phase("pcg density"):
-            pd = f_solve(state.pressure_den, drhs, marker2)
-            _sync(pd)
-        with timer.phase("position change"):
-            change = f_change(pd, marker2)
-            _sync(change)
-        with timer.phase("correct particles"):
-            table = f_correct(table, change, marker2)
-            _sync(table)
-        with timer.phase("rebin +-1 [pallas]"):
-            table = f_rebin1(table)
-            _sync(table)
+        marker = timed("marker", f_marker, table)
+        vel = timed("p2g velocity [pallas]", f_p2g, table, marker)
+        rhs = timed("divergence rhs", f_div, vel, marker)
+        p = timed("pcg velocity", f_solve, state.pressure_vel, rhs, marker)
+        vel = timed("divergence remove", f_remove, vel, p, marker)
+        vel = timed("extrapolate", f_extrap, vel, marker)
+        table = timed("advect (g2p+rk4)", f_advect, table, vel)
+        table = timed("rebin +-2 [pallas]", f_rebin2, table)
+        marker2 = timed("marker 2", f_marker, table)
+        rho = timed("density gather [pallas]", f_rho, table)
+        drhs = timed("density rhs", f_rho_rhs, rho, marker2)
+        pd = timed("pcg density", f_solve, state.pressure_den, drhs, marker2)
+        change = timed("position change", f_change, pd, marker2)
+        table = timed("correct particles", f_correct, table, change, marker2)
+        table = timed("rebin +-1 [pallas]", f_rebin1, table)
         if r == 0:
             timer.samples.clear()  # drop compile pass
     return timer.mean_ms(), timer

@@ -56,6 +56,21 @@ def _pos_t(posq: jax.Array) -> jax.Array:
     return jnp.moveaxis(posq[:, 0:3], 1, -1)
 
 
+def marker_from_counts(fluid_count: jax.Array, grid_dim, solid_occupancy) -> jax.Array:
+    """Marker from the P2G kernel's primal-cell fluid-count output channel —
+    the table sweep already happened inside the kernel; this is only the
+    cheap grid-sized overrides (border ring + voxelized solids). Matches
+    marker_from_slot_major exactly (fluid iff any particle's floor(pos) is
+    the cell; reference transfer_set_boundary_marker.comp:8-19)."""
+    x, y, z = grid_dim
+    fluid = fluid_count[:x, :y, :z] > 0.5
+    marker = jnp.where(fluid, jnp.int8(CELL_FLUID), jnp.int8(CELL_AIR))
+    solid = border_mask((x, y, z))
+    if solid_occupancy is not None:
+        solid = solid | (solid_occupancy != 0.0)
+    return jnp.where(solid, jnp.int8(CELL_SOLID), marker)
+
+
 def marker_from_slot_major(sm: SlotMajorTable, solid_occupancy) -> jax.Array:
     """Marker grid [X,Y,Z] i8 from the resident table — port of
     dense_transfer.marker_from_table (same 3-bit primal-offset code rolls)."""

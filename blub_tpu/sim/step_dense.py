@@ -203,10 +203,14 @@ def _step_slot_major(
     (marker, advect, correct) — zero layout conversions per step."""
     from ..ops import pallas_pcg
     from ..ops.pallas_advect import advect_sm_pallas, correct_sm_pallas
-    from ..ops.pallas_p2g import p2g_density_pallas, p2g_velocity_density_pallas
+    from ..ops.pallas_p2g import (
+        normalize_velocity,
+        p2g_density_pallas,
+        p2g_raw_accumulators,
+    )
     from ..ops.pallas_rebin import rebin_slot_major
     from .density import position_change_field
-    from .sm_phases import marker_from_slot_major
+    from .sm_phases import marker_from_counts
 
     interp = _interpret_kernels()
     # whole-solve VMEM PCG on real TPUs when the grid fits (the CPU/interpret
@@ -220,11 +224,12 @@ def _step_slot_major(
     solid_vel = solids.velocity if solids is not None else None
 
     # --- transfer & divergence ------------------------------------------------
-    marker = marker_from_slot_major(table, occupancy)
-    vel, _ = p2g_velocity_density_pallas(
-        table, marker, params.gravity_grid, dt, interpret=interp,
-        with_density=False,
-    )
+    # one kernel pass yields the P2G accumulators AND the fluid counts the
+    # marker needs (the reference similarly marks fluid during its
+    # linked-list build, transfer_build_linkedlist.comp:24-26)
+    acc = p2g_raw_accumulators(table, interpret=interp, with_density=False)
+    marker = marker_from_counts(acc[-1], params.grid_dim, occupancy)
+    vel = normalize_velocity(acc, marker, params.gravity_grid, dt)
     rhs = compute_divergence_rhs(vel, marker, solid_vel)
 
     # --- pressure projection (velocity) --------------------------------------
@@ -237,8 +242,10 @@ def _step_slot_major(
     table = rebin_slot_major(table, max_shift=2, interpret=interp)
 
     # --- implicit density projection ------------------------------------------
-    marker2 = marker_from_slot_major(table, occupancy)
-    raw_density = p2g_density_pallas(table, interpret=interp)
+    raw_density, fluid_cnt = p2g_density_pallas(
+        table, interpret=interp, with_fluid=True
+    )
+    marker2 = marker_from_counts(fluid_cnt, params.grid_dim, occupancy)
     den_rhs = density_rhs_from_raw(raw_density, marker2, dt)
     res_den = solve(state.pressure_den, den_rhs, marker2, params.solver_den, dt)
 

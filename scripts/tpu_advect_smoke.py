@@ -51,10 +51,10 @@ change = tuple(v * 0.0005 for v in vel)
 sm = from_table(tab)
 dt = 1.0 / 120.0
 
-f_k = jax.jit(lambda s: advect_sm_pallas(s, vel, occ, sv, dt).data)
-f_o = jax.jit(lambda s: advect_slot_major(s, vel, occ, sv, dt).data)
-fc_k = jax.jit(lambda s: correct_sm_pallas(s, change, marker).data)
-fc_o = jax.jit(lambda s: correct_slot_major(s, change, marker).data)
+f_k = jax.jit(lambda s: advect_sm_pallas(s, vel, occ, sv, dt).posq)
+f_o = jax.jit(lambda s: advect_slot_major(s, vel, occ, sv, dt).posq)
+fc_k = jax.jit(lambda s: correct_sm_pallas(s, change, marker).posq)
+fc_o = jax.jit(lambda s: correct_slot_major(s, change, marker).posq)
 
 for name, f in (("advect kernel", f_k), ("advect xla", f_o),
                 ("correct kernel", fc_k), ("correct xla", fc_o)):
@@ -66,11 +66,11 @@ for name, f in (("advect kernel", f_k), ("advect xla", f_o),
 a = np.asarray(jax.device_get(f_o(sm)))
 b = np.asarray(jax.device_get(f_k(sm)))
 err = np.max(np.abs(a - b))
-print(f"advect max abs diff: {err:.2e}", flush=True)
+print(f"advect pos max abs diff: {err:.2e}", flush=True)
 ca = np.asarray(jax.device_get(fc_o(sm)))
 cb = np.asarray(jax.device_get(fc_k(sm)))
 cerr = np.max(np.abs(ca - cb))
-print(f"correct max abs diff: {cerr:.2e}", flush=True)
+print(f"correct pos max abs diff: {cerr:.2e}", flush=True)
 
 N = 10
 for name, f in (("advect kernel", f_k), ("advect xla", f_o),
