@@ -45,6 +45,7 @@ def main() -> None:
     n_steps = int(os.environ.get("BLUB_BENCH_STEPS", "32"))
     capacity = int(os.environ.get("BLUB_BENCH_CAPACITY", "16"))
     batch = int(os.environ.get("BLUB_BENCH_BATCH", "16"))
+    cfl = float(os.environ.get("BLUB_BENCH_CFL", "1.9"))
     raw = bool(os.environ.get("BLUB_BENCH_RAW"))
 
     # Dam filling the lower-left half: ~1/4 of cells -> grid(128^3) ~ 4M particles.
@@ -80,7 +81,7 @@ def main() -> None:
         substeps = n_steps
     else:
         frames_fn = jax.jit(
-            lambda s: multi_frame_dense(params, s, batch, cfl_target=1.5, max_substeps=4),
+            lambda s: multi_frame_dense(params, s, batch, cfl_target=cfl, max_substeps=4),
             donate_argnums=(0,),
         )
         n_batches = max(1, n_steps // batch)

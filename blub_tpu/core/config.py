@@ -192,8 +192,10 @@ class SimSettings:
     # CFL target in cells per (sub)step: when max|v|*dt exceeds this, the
     # scene runs 2-4 substeps. TPU-native addition (the reference has no CFL
     # control; its violent scenes overrun its own per-cell assumptions too).
-    # 0 disables substepping.
-    cfl_target: float = 1.5
+    # 1.9 stays inside the rebin kernels' +-2-cell window (movement clamps at
+    # 1.99); measured dam-scale loss 0.04% vs 0.007% at 1.5, both far under
+    # the 0.5% budget, for ~11% fewer substeps. 0 disables substepping.
+    cfl_target: float = 1.9
     max_substeps: int = 4
     # Internal grid-axis order: "auto" permutes so the lane (last) axis has
     # minimal 128-padding waste (sim/axis_layout.py); "identity" keeps the

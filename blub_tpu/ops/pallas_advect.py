@@ -246,12 +246,14 @@ def _block_coords(i, j, bx, by, zp):
 
 def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids):
     if with_solids:
-        (dt_ref, posq_ref, v0, v1, v2, occ, s0, s1, s2, outp_ref, outd_ref,
+        (dt_ref, posq_ref, v0, v1, v2, occ, s0, s1, s2,
+         outp_ref, outd_ref, ms_ref,
          wv0, wv1, wv2, wocc, ws0, ws1, ws2, sems) = refs
         grids = ((v0, wv0, 1), (v1, wv1, 1), (v2, wv2, 1), (occ, wocc, 2),
                  (s0, ws0, 1), (s1, ws1, 1), (s2, ws2, 1))
     else:
-        dt_ref, posq_ref, v0, v1, v2, outp_ref, outd_ref, wv0, wv1, wv2, sems = refs
+        (dt_ref, posq_ref, v0, v1, v2, outp_ref, outd_ref, ms_ref,
+         wv0, wv1, wv2, sems) = refs
         grids = ((v0, wv0, 1), (v1, wv1, 1), (v2, wv2, 1))
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -266,17 +268,18 @@ def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids):
     def _empty():
         outp_ref[...] = jnp.zeros((k, NUM_POSQ, bx, by, zp), jnp.float32)
         outd_ref[...] = jnp.zeros((k, NUM_DYN, bx, by, zp), jnp.float32)
+        ms_ref[...] = jnp.zeros((8, 128), jnp.float32)
 
     @pl.when(has_particles)
     def _run():
         _advect_block(
-            dt, posq_ref, grids, outp_ref, outd_ref, sems, i, j,
+            dt, posq_ref, grids, outp_ref, outd_ref, ms_ref, sems, i, j,
             bx=bx, by=by, X=X, Y=Y, grid_dim=grid_dim, with_solids=with_solids,
         )
 
 
 def _advect_block(
-    dt, posq_ref, grids, outp_ref, outd_ref, sems, i, j,
+    dt, posq_ref, grids, outp_ref, outd_ref, ms_ref, sems, i, j,
     *, bx, by, X, Y, grid_dim, with_solids,
 ):
     zp = posq_ref.shape[-1]
@@ -371,8 +374,14 @@ def _advect_block(
     for a in range(3):
         outp_ref[:, a] = jnp.where(validb, new_pos[a], 0.0)
     outp_ref[:, CH_VALID] = valid
-    # velocity/affine: mask then quantize-pack to bf16 pairs (slot_major.py)
+    # per-block max |v|^2 by-product (drives CFL substepping without a
+    # separate whole-table reduction; scalar in an (8,128)-tile like
+    # pallas_pcg's stats output — scatter doesn't lower in Mosaic)
     vq = [jnp.where(validb, velocity[a], 0.0) for a in range(3)]
+    ms = jnp.max(vq[0] * vq[0] + vq[1] * vq[1] + vq[2] * vq[2])
+    ii = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    ms_ref[...] = jnp.where((ii == 0) & (jj == 0), ms, 0.0)
     aq = [
         jnp.where(validb, affine[c][a], 0.0) for c in range(3) for a in range(3)
     ]
@@ -499,14 +508,16 @@ def _advect_call(
             _grid_window_scratch(bx, by, zp, 1),
         ]
     scratch.append(pltpu.SemaphoreType.DMA((9 * (7 if with_solids else 3),)))
+    ms_spec = pl.BlockSpec((8, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(x // bx, y // by),
         in_specs=in_specs,
-        out_specs=[posq_spec, dyn_spec],
+        out_specs=[posq_spec, dyn_spec, ms_spec],
         out_shape=[
             jax.ShapeDtypeStruct(posq.shape, jnp.float32),
             jax.ShapeDtypeStruct((k, NUM_DYN, x, y, zp), jnp.float32),
+            jax.ShapeDtypeStruct((8 * (x // bx), 128 * (y // by)), jnp.float32),
         ],
         scratch_shapes=scratch,
         compiler_params=None
@@ -574,10 +585,12 @@ def supports(grid_dim, capacity: int) -> bool:
 
 def advect_sm_pallas(
     sm: SlotMajorTable, vel_grids, solid_occupancy, solid_velocity, dt,
-    interpret: bool = False,
-) -> SlotMajorTable:
+    interpret: bool = False, with_max_speed: bool = False,
+):
     """Drop-in replacement for sm_phases.advect_slot_major. `dt` may be a
-    traced scalar (it rides in SMEM). Caller must rebin(max_shift=2)."""
+    traced scalar (it rides in SMEM). Caller must rebin(max_shift=2).
+    With ``with_max_speed``, also returns max |v| (f32 scalar) as a kernel
+    by-product — the CFL driver, saving a whole-table reduction per substep."""
     x, y, z = sm.grid_dim
     zp = sm.zp
     bx, by = _pick_blocks(x, y, zp, sm.capacity)
@@ -585,7 +598,7 @@ def advect_sm_pallas(
     vel_p = [_pad_z(v, zp) for v in vel_grids]
     if solid_occupancy is None:
         zero = jnp.zeros((), jnp.float32)  # placeholder, not passed to the kernel
-        posq, dyn = _advect_call(
+        posq, dyn, ms = _advect_call(
             sm.posq, dt_arr, *vel_p, zero, zero, zero, zero,
             grid_dim=sm.grid_dim, bx=bx, by=by, interpret=interpret,
             with_solids=False,
@@ -593,12 +606,15 @@ def advect_sm_pallas(
     else:
         occ_p = _pad_z(solid_occupancy, zp)
         sv_p = [_pad_z(solid_velocity[..., a], zp) for a in range(3)]
-        posq, dyn = _advect_call(
+        posq, dyn, ms = _advect_call(
             sm.posq, dt_arr, *vel_p, occ_p, *sv_p,
             grid_dim=sm.grid_dim, bx=bx, by=by, interpret=interpret,
             with_solids=True,
         )
-    return SlotMajorTable(posq=posq, dyn=dyn, lost=sm.lost, grid_dim=sm.grid_dim)
+    out = SlotMajorTable(posq=posq, dyn=dyn, lost=sm.lost, grid_dim=sm.grid_dim)
+    if with_max_speed:
+        return out, jnp.sqrt(jnp.max(ms)).astype(jnp.float32)
+    return out
 
 
 def correct_sm_pallas(

@@ -13,17 +13,24 @@ Replaces the reference's binning pipeline (shader/simulation/
 particle_binning*.comp + hybrid_fluid.rs:854-894) — there binning is a perf
 nicety every 60 steps; here it is correctness-bearing and runs twice a step.
 
-Pack semantics: per-cell particle multisets match sim/table.py::rebin exactly
-whenever nothing overflows (always, with CFL substepping + slack); under
-overflow the kept COUNT matches but the victim choice differs — stayers
+Structure: TWO kernels per rebin, not three. The x stage packs along the
+outer axis (x-haloed window); the fused y+z stage packs along y (y-haloed
+window) into a VMEM scratch and immediately packs that scratch along z — the
+lane axis needs no halo, so fusing it saves a whole table read+write.
+
+Pack semantics ("stayers keep slots"): a slot whose particle stays in its
+cell is select-copied in place; only MOVERS run the rank->empty-slot
+assignment arithmetic. Per-cell particle multisets match sim/table.py::rebin
+exactly whenever nothing overflows (always, with CFL substepping + slack);
+under overflow the kept COUNT matches but the victim choice differs — stayers
 always survive here, the oracle keeps the first k_out candidates in offset
-order. All bin/flag arithmetic runs on the f32
-position channels (posq) on the VPU — never a matmul (MXU f32 matmuls run as
-bf16 on this platform; see tests/test_pallas.py::test_rebin_is_bit_exact).
-Payload transport is bit-exact for both arrays: posq moves as mask*value
-(exact for 0/1 masks on finite positions), the bf16-packed dyn channels move
-as select+add (their f32 bit patterns are not arithmetic values, so no
-multiply ever touches them).
+order. All bin/flag arithmetic runs on the f32 position channels (posq) on
+the VPU — never a matmul (MXU f32 matmuls run as bf16 on this platform; see
+tests/test_pallas.py::test_rebin_is_bit_exact). Payload transport is
+bit-exact for both arrays: posq moves as mask*value (exact for 0/1 masks on
+finite positions), the bf16-packed dyn channels move as select + integer OR
+(their f32 bit patterns are not arithmetic values — a pair with hi == 0.0
+reads as an f32 DENORMAL and the VPU flushes those on add).
 
 Windowing: resident arrays are unpadded in x/y. Each block DMAs its window in
 three statically-placed parts per haloed axis (lead halo | core | trail halo),
@@ -32,6 +39,11 @@ with edge parts clamped into bounds; a per-row "expected coordinate" mask
 padding and no dynamic sublane slicing is ever needed. Requirements:
 bx | X with bx >= max_shift, Y % 8 == 0, and the halo part size (8) on y
 covers max_shift <= 8.
+
+A whole-stage lax.cond skip on per-axis mover flags was tried and REMOVED:
+on the benched flows (dam break, CFL-substepped) some particle always moves
+along every axis, so the mover scan + cond boundaries cost ~3 ms/step and
+never paid off; per-BLOCK early-exit already covers calm regions.
 """
 
 from __future__ import annotations
@@ -56,14 +68,12 @@ def _target(pos_a: jax.Array, dim_a: int) -> jax.Array:
     return jnp.clip(jnp.floor(pos_a - 0.5), 0.0, float(dim_a - 1))
 
 
-def _stage_kernel(
-    posq_hbm,
-    dyn_hbm,
-    outp_ref,
-    outd_ref,
+def _pack_core(
     winp,
     wind,
-    sems,
+    write_p,
+    write_d,
+    read_out_d,
     *,
     axis: int,
     s: int,
@@ -71,113 +81,36 @@ def _stage_kernel(
     k_out: int,
     bx: int,
     by: int,
-    X: int,
-    Y: int,
     Zp: int,
     dim_a: int,
+    core,
+    rowok,
+    riota,
+    gout_base,
 ):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    """One axis-split pack from VMEM window refs into per-slot writers.
 
-    # ---- window DMA: lead halo | core | trail halo along the pack axis ----
-    def parts(hbm, win, sem0):
-        if axis == 0:
-            a0 = jnp.clip(i * bx - s, 0, X - s)
-            c0 = jnp.clip(i * bx + bx, 0, X - s)
-            return [
-                pltpu.make_async_copy(
-                    hbm.at[:, :, pl.ds(a0, s), pl.ds(j * by, by), :],
-                    win.at[:, :, pl.ds(0, s)],
-                    sems.at[sem0],
-                ),
-                pltpu.make_async_copy(
-                    hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
-                    win.at[:, :, pl.ds(s, bx)],
-                    sems.at[sem0 + 1],
-                ),
-                pltpu.make_async_copy(
-                    hbm.at[:, :, pl.ds(c0, s), pl.ds(j * by, by), :],
-                    win.at[:, :, pl.ds(s + bx, s)],
-                    sems.at[sem0 + 2],
-                ),
-            ]
-        elif axis == 1:
-            a0 = jnp.clip(j * by - _YH, 0, Y - _YH)
-            c0 = jnp.clip(j * by + by, 0, Y - _YH)
-            return [
-                pltpu.make_async_copy(
-                    hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(a0, _YH), :],
-                    win.at[:, :, :, pl.ds(0, _YH)],
-                    sems.at[sem0],
-                ),
-                pltpu.make_async_copy(
-                    hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
-                    win.at[:, :, :, pl.ds(_YH, by)],
-                    sems.at[sem0 + 1],
-                ),
-                pltpu.make_async_copy(
-                    hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(c0, _YH), :],
-                    win.at[:, :, :, pl.ds(_YH + by, _YH)],
-                    sems.at[sem0 + 2],
-                ),
-            ]
-        return [
-            pltpu.make_async_copy(
-                hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
-                win,
-                sems.at[sem0],
-            )
-        ]
-
-    copies = parts(posq_hbm, winp, 0) + parts(dyn_hbm, wind, 3)
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
-
-    if axis == 0:
-        a0 = jnp.clip(i * bx - s, 0, X - s)
-        c0 = jnp.clip(i * bx + bx, 0, X - s)
-    elif axis == 1:
-        a0 = jnp.clip(j * by - _YH, 0, Y - _YH)
-        c0 = jnp.clip(j * by + by, 0, Y - _YH)
-
-    wshape = winp.shape[2:]  # (wx, wy, Zp)
-    wpos = winp[:, axis]  # [k_in, wx, wy, Zp] position along the pack axis
+    winp/wind: refs [k_in, ch, wx, wy, Zp] (wx/wy include halos for axis 0/1;
+    axis 2 is halo-free). write_p(q, val)/write_d(q, val) set output slot q;
+    read_out_d(q) reads back the dyn output (for the integer-OR accumulate).
+    `core` slices a window array down to the output block; `rowok` masks
+    clamped duplicate halo rows; `gout_base` is the block's global coordinate
+    along the pack axis."""
     wvalid = winp[:, CH_VALID] > 0.5
-    wtarget = _target(wpos, dim_a)
-
-    # actual vs expected global coordinate per window row along the pack axis
-    # (clamped edge parts hold duplicate rows; actual != expected kills them)
-    riota = jax.lax.broadcasted_iota(jnp.int32, wshape, axis)
-    if axis == 0:
-        actual = jnp.where(
-            riota < s,
-            a0 + riota,
-            jnp.where(riota < s + bx, i * bx + riota - s, c0 + riota - s - bx),
-        )
-        expected = i * bx - s + riota
-        core = (slice(s, s + bx), slice(None), slice(None))
-        gout_base = i * bx
-    elif axis == 1:
-        actual = jnp.where(
-            riota < _YH,
-            a0 + riota,
-            jnp.where(riota < _YH + by, j * by + riota - _YH, c0 + riota - _YH - by),
-        )
-        expected = j * by - _YH + riota
-        core = (slice(None), slice(_YH, _YH + by), slice(None))
-        gout_base = j * by
+    wtarget = _target(winp[:, axis], dim_a)
+    actual_f = None
+    if rowok is not None:
+        # rowok carries (actual, expected) info already folded to a bool; the
+        # mover check needs the actual coordinate as f32
+        rowok_b, actual_f = rowok
     else:
-        actual = riota
-        expected = riota
-        core = (slice(None), slice(None), slice(None))
-        gout_base = 0
-    rowok = actual == expected
-    actual_f = actual.astype(jnp.float32)
+        rowok_b = None
+        actual_f = (
+            gout_base + jax.lax.broadcasted_iota(jnp.int32, winp.shape[2:], axis)
+        ).astype(jnp.float32)
 
-    # ---- block-level early-exit ----
-    movers = jnp.any(wvalid & rowok[None] & (wtarget != actual_f[None]))
+    ok = wvalid if rowok_b is None else (wvalid & rowok_b[None])
+    movers = jnp.any(ok & (wtarget != actual_f[None]))
     needs = movers
     if k_out < k_in:
         # shrinking the slot dim additionally requires the tail slots of the
@@ -189,24 +122,14 @@ def _stage_kernel(
     def _copy_through():
         for q in range(k_out):
             if q < k_in:
-                outp_ref[q] = winp[q][(slice(None),) + core]
-                outd_ref[q] = wind[q][(slice(None),) + core]
+                write_p(q, winp[q][(slice(None),) + core])
+                write_d(q, wind[q][(slice(None),) + core])
             else:
-                outp_ref[q] = jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32)
-                outd_ref[q] = jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32)
+                write_p(q, jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32))
+                write_d(q, jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32))
 
     @pl.when(needs)
     def _pack():
-        # STAYERS-KEEP-SLOTS pack: a slot whose particle stays in its cell is
-        # select-copied in place; only MOVERS (particles changing bins along
-        # this axis) run the rank->empty-slot assignment arithmetic. In
-        # typical flow >90% of particles stay per substep, so this removes
-        # the offset-0 candidates that dominated the earlier running-count
-        # pack. Deviation from sim/table.py::rebin: per-cell multisets still
-        # match exactly when nothing overflows, and the LOST COUNT matches
-        # under overflow, but which particle drops on a (k_out+1)-crowded
-        # cell can differ (the oracle drops late candidates in offset order;
-        # this drops late movers — stayers always survive).
         gout = (
             gout_base + jax.lax.broadcasted_iota(jnp.int32, (bx, by, Zp), axis)
         ).astype(jnp.float32)
@@ -217,14 +140,12 @@ def _stage_kernel(
             elif axis == 1:
                 sl = (slice(None), slice(_YH + off, _YH + off + by), slice(None))
             if axis != 2:
-                f = (
-                    wvalid[(slice(None),) + sl]
-                    & rowok[None][(slice(None),) + sl]
-                    & (wtarget[(slice(None),) + sl] == gout[None])
-                )
-                return f, sl
-            # jnp.roll(x, 0) lowers to a zero-size slice in Mosaic
+                f = wvalid[(slice(None),) + sl]
+                if rowok_b is not None:
+                    f = f & rowok_b[None][(slice(None),) + sl]
+                return f & (wtarget[(slice(None),) + sl] == gout[None]), sl
 
+            # jnp.roll(x, 0) lowers to a zero-size slice in Mosaic
             def _zroll(a, o=off):
                 return jnp.roll(a, -o, axis=-1) if o else a
 
@@ -257,12 +178,12 @@ def _stage_kernel(
                 sq = f0[q]
                 pay_p, pay_d = payloads(q, 0, sl0)
                 # select is pure data movement — bit-exact for both arrays
-                outp_ref[q] = jnp.where(sq[None], pay_p, 0.0)
-                outd_ref[q] = jnp.where(sq[None], pay_d, 0.0)
+                write_p(q, jnp.where(sq[None], pay_p, 0.0))
+                write_d(q, jnp.where(sq[None], pay_d, 0.0))
                 eq = jnp.logical_not(sq)
             else:
-                outp_ref[q] = jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32)
-                outd_ref[q] = jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32)
+                write_p(q, jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32))
+                write_d(q, jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32))
                 eq = jnp.ones((bx, by, Zp), jnp.bool_)
             ecount = ecount + eq.astype(jnp.int32)
             empties.append(eq)
@@ -276,11 +197,9 @@ def _stage_kernel(
         ]
 
         def assign(fk, rk, pay_p, pay_d):
-            """Route a mover candidate's arrivals: the (rk+1)-th empty slot
-            per cell. Scalar-gated per 4-slot group; payload transport is
-            m*value for f32 posq and select+integer-OR for the packed dyn
-            (f32 arithmetic must never touch packed bits: a pair with
-            hi == 0.0 reads as an f32 DENORMAL and the VPU flushes those)."""
+            """Route a mover candidate's arrivals to the (rk+1)-th empty slot
+            per cell, scalar-gated per 4-slot group (per-q regions made
+            Mosaic compile time explode)."""
             rlo = jnp.min(jnp.where(fk, rk, k_out)) + 1
             rhi = jnp.max(jnp.where(fk, rk, -1)) + 1
             pay_i = jax.lax.bitcast_convert_type(pay_d, jnp.int32)
@@ -292,13 +211,14 @@ def _stage_kernel(
                     for q in range(q0, min(q0 + 4, k_out)):
                         hit = fk & empties[q] & (eranks[q] == rk + 1)
                         m = hit.astype(jnp.float32)[None]
-                        outp_ref[q] = outp_ref[q] + m * pay_p
+                        write_p(q, None, add=m * pay_p)
                         cur = jax.lax.bitcast_convert_type(
-                            outd_ref[q], jnp.int32
+                            read_out_d(q), jnp.int32
                         )
                         sel = jnp.where(hit[None], pay_i, 0)
-                        outd_ref[q] = jax.lax.bitcast_convert_type(
-                            cur | sel, jnp.float32
+                        write_d(
+                            q,
+                            jax.lax.bitcast_convert_type(cur | sel, jnp.float32),
                         )
 
         r = jnp.zeros((bx, by, Zp), jnp.int32)
@@ -337,35 +257,163 @@ def _stage_kernel(
                         assign(fk, rk, pay_p, pay_d)
 
 
+def _ref_writers(outp_ref, outd_ref):
+    def write_p(q, val, add=None):
+        if add is not None:
+            outp_ref[q] = outp_ref[q] + add
+        else:
+            outp_ref[q] = val
+
+    def write_d(q, val, add=None):
+        outd_ref[q] = val
+
+    def read_out_d(q):
+        return outd_ref[q]
+
+    return write_p, write_d, read_out_d
+
+
+def _window_parts(hbm, win, sems, sem0, axis, i, j, *, s, bx, by, X, Y):
+    """3-part haloed window DMA along `axis` (0 or 1)."""
+    if axis == 0:
+        a0 = jnp.clip(i * bx - s, 0, X - s)
+        c0 = jnp.clip(i * bx + bx, 0, X - s)
+        return [
+            pltpu.make_async_copy(
+                hbm.at[:, :, pl.ds(a0, s), pl.ds(j * by, by), :],
+                win.at[:, :, pl.ds(0, s)],
+                sems.at[sem0],
+            ),
+            pltpu.make_async_copy(
+                hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
+                win.at[:, :, pl.ds(s, bx)],
+                sems.at[sem0 + 1],
+            ),
+            pltpu.make_async_copy(
+                hbm.at[:, :, pl.ds(c0, s), pl.ds(j * by, by), :],
+                win.at[:, :, pl.ds(s + bx, s)],
+                sems.at[sem0 + 2],
+            ),
+        ]
+    a0 = jnp.clip(j * by - _YH, 0, Y - _YH)
+    c0 = jnp.clip(j * by + by, 0, Y - _YH)
+    return [
+        pltpu.make_async_copy(
+            hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(a0, _YH), :],
+            win.at[:, :, :, pl.ds(0, _YH)],
+            sems.at[sem0],
+        ),
+        pltpu.make_async_copy(
+            hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
+            win.at[:, :, :, pl.ds(_YH, by)],
+            sems.at[sem0 + 1],
+        ),
+        pltpu.make_async_copy(
+            hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(c0, _YH), :],
+            win.at[:, :, :, pl.ds(_YH + by, _YH)],
+            sems.at[sem0 + 2],
+        ),
+    ]
+
+
+def _rowok(axis, i, j, wshape, *, s, bx, by, X, Y):
+    """(rowok bool, actual f32) for the clamped halo parts along `axis`."""
+    riota = jax.lax.broadcasted_iota(jnp.int32, wshape, axis)
+    if axis == 0:
+        a0 = jnp.clip(i * bx - s, 0, X - s)
+        c0 = jnp.clip(i * bx + bx, 0, X - s)
+        actual = jnp.where(
+            riota < s,
+            a0 + riota,
+            jnp.where(riota < s + bx, i * bx + riota - s, c0 + riota - s - bx),
+        )
+        expected = i * bx - s + riota
+    else:
+        a0 = jnp.clip(j * by - _YH, 0, Y - _YH)
+        c0 = jnp.clip(j * by + by, 0, Y - _YH)
+        actual = jnp.where(
+            riota < _YH,
+            a0 + riota,
+            jnp.where(riota < _YH + by, j * by + riota - _YH, c0 + riota - _YH - by),
+        )
+        expected = j * by - _YH + riota
+    return (actual == expected, actual.astype(jnp.float32))
+
+
+def _stage_x_kernel(
+    posq_hbm, dyn_hbm, outp_ref, outd_ref, winp, wind, sems,
+    *, s, k_in, k_out, bx, by, X, Y, Zp, dim_a,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    copies = _window_parts(posq_hbm, winp, sems, 0, 0, i, j, s=s, bx=bx, by=by, X=X, Y=Y)
+    copies += _window_parts(dyn_hbm, wind, sems, 3, 0, i, j, s=s, bx=bx, by=by, X=X, Y=Y)
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    write_p, write_d, read_out_d = _ref_writers(outp_ref, outd_ref)
+    _pack_core(
+        winp, wind, write_p, write_d, read_out_d,
+        axis=0, s=s, k_in=k_in, k_out=k_out, bx=bx, by=by, Zp=Zp, dim_a=dim_a,
+        core=(slice(s, s + bx), slice(None), slice(None)),
+        rowok=_rowok(0, i, j, winp.shape[2:], s=s, bx=bx, by=by, X=X, Y=Y),
+        riota=None,
+        gout_base=i * bx,
+    )
+
+
+def _stage_yz_kernel(
+    posq_hbm, dyn_hbm, outp_ref, outd_ref, winp, wind, midp, midd, sems,
+    *, s, k_in, k_mid, k_out, bx, by, X, Y, Zp, dim_y, dim_z,
+):
+    """Fused y-then-z pack: window -> mid scratch (y) -> out (z). The z pack
+    reads the VMEM scratch, so the z stage's table-sized HBM roundtrip
+    disappears."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    copies = _window_parts(posq_hbm, winp, sems, 0, 1, i, j, s=s, bx=bx, by=by, X=X, Y=Y)
+    copies += _window_parts(dyn_hbm, wind, sems, 3, 1, i, j, s=s, bx=bx, by=by, X=X, Y=Y)
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    mw_p, mw_d, m_read = _ref_writers(midp, midd)
+    _pack_core(
+        winp, wind, mw_p, mw_d, m_read,
+        axis=1, s=s, k_in=k_in, k_out=k_mid, bx=bx, by=by, Zp=Zp, dim_a=dim_y,
+        core=(slice(None), slice(_YH, _YH + by), slice(None)),
+        rowok=_rowok(1, i, j, winp.shape[2:], s=s, bx=bx, by=by, X=X, Y=Y),
+        riota=None,
+        gout_base=j * by,
+    )
+
+    write_p, write_d, read_out_d = _ref_writers(outp_ref, outd_ref)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (bx, by, Zp), 2)
+    _pack_core(
+        midp, midd, write_p, write_d, read_out_d,
+        axis=2, s=s, k_in=k_mid, k_out=k_out, bx=bx, by=by, Zp=Zp, dim_a=dim_z,
+        core=(slice(None), slice(None), slice(None)),
+        rowok=None,
+        riota=riota,
+        gout_base=0,
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("axis", "s", "k_out", "dim_a", "bx", "by", "interpret")
+    jax.jit, static_argnames=("s", "k_out", "dim_a", "bx", "by", "interpret")
 )
-def _rebin_stage(
-    posq: jax.Array,
-    dyn: jax.Array,
-    *,
-    axis: int,
-    s: int,
-    k_out: int,
-    dim_a: int,
-    bx: int,
-    by: int,
-    interpret: bool = False,
+def _rebin_stage_x(
+    posq, dyn, *, s, k_out, dim_a, bx, by, interpret=False,
 ):
     k_in, chp, X, Y, Zp = posq.shape
     assert chp == NUM_POSQ
     assert X % bx == 0 and Y % by == 0 and by % 8 == 0 and bx >= s and s <= _YH
-    assert (2 * s + 1) * k_in > k_out, "pack assumes more candidates than slots"
-    if axis == 0:
-        wx, wy = bx + 2 * s, by
-    elif axis == 1:
-        wx, wy = bx, by + 2 * _YH
-    else:
-        wx, wy = bx, by
     kern = functools.partial(
-        _stage_kernel,
-        axis=axis, s=s, k_in=k_in, k_out=k_out,
-        bx=bx, by=by, X=X, Y=Y, Zp=Zp, dim_a=dim_a,
+        _stage_x_kernel,
+        s=s, k_in=k_in, k_out=k_out, bx=bx, by=by, X=X, Y=Y, Zp=Zp, dim_a=dim_a,
     )
     return pl.pallas_call(
         kern,
@@ -389,13 +437,10 @@ def _rebin_stage(
             jax.ShapeDtypeStruct((k_out, NUM_DYN, X, Y, Zp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((k_in, NUM_POSQ, wx, wy, Zp), jnp.float32),
-            pltpu.VMEM((k_in, NUM_DYN, wx, wy, Zp), jnp.float32),
+            pltpu.VMEM((k_in, NUM_POSQ, bx + 2 * s, by, Zp), jnp.float32),
+            pltpu.VMEM((k_in, NUM_DYN, bx + 2 * s, by, Zp), jnp.float32),
             pltpu.SemaphoreType.DMA((6,)),
         ],
-        # window + out fit the ~10MB block budget; Mosaic's pack temporaries
-        # (rolled slabs, flag planes) need headroom beyond the default 16MB
-        # scoped limit — v5e has 128MB physical VMEM.
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -403,43 +448,100 @@ def _rebin_stage(
     )(posq, dyn)
 
 
-def _pick_blocks(axis: int, k_in: int, k_out: int, X: int, Y: int, s: int, Zp: int, budget: int):
-    """(bx, by) whose window + out block fit in VMEM. The y stage prefers a
-    WIDE by: its halo parts are fixed at 8 rows (sublane alignment), so the
-    window read amplification is (by+16)/by — 3x at by=8, 1.5x at by=32."""
-    by_options = (32, 16, 8) if axis == 1 else (8,)
-    for by in by_options:
+@functools.partial(
+    jax.jit,
+    static_argnames=("s", "k_mid", "k_out", "dim_y", "dim_z", "bx", "by", "interpret"),
+)
+def _rebin_stage_yz(
+    posq, dyn, *, s, k_mid, k_out, dim_y, dim_z, bx, by, interpret=False,
+):
+    k_in, chp, X, Y, Zp = posq.shape
+    assert chp == NUM_POSQ
+    assert X % bx == 0 and Y % by == 0 and by % 8 == 0 and s <= _YH
+    kern = functools.partial(
+        _stage_yz_kernel,
+        s=s, k_in=k_in, k_mid=k_mid, k_out=k_out,
+        bx=bx, by=by, X=X, Y=Y, Zp=Zp, dim_y=dim_y, dim_z=dim_z,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(X // bx, Y // by),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (k_out, NUM_POSQ, bx, by, Zp), lambda i, j: (0, 0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k_out, NUM_DYN, bx, by, Zp), lambda i, j: (0, 0, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k_out, NUM_POSQ, X, Y, Zp), jnp.float32),
+            jax.ShapeDtypeStruct((k_out, NUM_DYN, X, Y, Zp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k_in, NUM_POSQ, bx, by + 2 * _YH, Zp), jnp.float32),
+            pltpu.VMEM((k_in, NUM_DYN, bx, by + 2 * _YH, Zp), jnp.float32),
+            pltpu.VMEM((k_mid, NUM_POSQ, bx, by, Zp), jnp.float32),
+            pltpu.VMEM((k_mid, NUM_DYN, bx, by, Zp), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(posq, dyn)
+
+
+def _pick_blocks_x(k_in, k_out, X, Y, s, Zp, budget):
+    by = 8
+    for bx in (16, 8, 4, 2):
+        if bx < s or X % bx:
+            continue
+        win = k_in * _NCH * (bx + 2 * s) * by * Zp * 4
+        out = k_out * _NCH * bx * by * Zp * 4
+        if win + out <= budget:
+            return bx, by
+    return None
+
+
+def _pick_blocks_yz(k_in, k_mid, k_out, X, Y, s, Zp, budget):
+    """Window + mid scratch + out must fit; wide by keeps the y-halo read
+    amplification down ((by+16)/by)."""
+    for by in (32, 16, 8):
         if Y % by:
             continue
-        for bx in (16, 8, 4, 2):
-            if bx < s or X % bx:
+        for bx in (8, 4, 2, 1):
+            if X % bx:
                 continue
-            wx = bx + 2 * s if axis == 0 else bx
-            wy = by + 2 * _YH if axis == 1 else by
-            win = k_in * _NCH * wx * wy * Zp * 4
+            win = k_in * _NCH * bx * (by + 2 * _YH) * Zp * 4
+            mid = k_mid * _NCH * bx * by * Zp * 4
             out = k_out * _NCH * bx * by * Zp * 4
-            if win + out <= budget:
+            if win + mid + out <= budget:
                 return bx, by
     return None
 
 
-_BUDGET = 26 << 20  # window + out block; Mosaic pack temporaries ride on top
-                    # within the 100MB vmem limit
+_BUDGET = 30 << 20  # window + mid + out blocks; Mosaic pack temporaries ride
+                    # on top within the 100MB vmem limit
 
 
 def supports(grid_dim, capacity: int, max_shift: int) -> bool:
-    """Whether the kernel path can run this configuration. Conservative
-    K+4-slot stage shapes for every axis (stage order y -> x -> z)."""
+    """Whether the kernel path can run this configuration (conservative
+    K+4-slot stage shapes)."""
     X, Y, Z = grid_dim
     if Y % 8 or max_shift > _YH:
         return False
     zp = max(128, -(-Z // 128) * 128)
-    for axis in range(3):
-        if _pick_blocks(
-            axis, capacity + 4, capacity + 4, X, Y, max_shift, zp, _BUDGET
-        ) is None:
-            return False
-    return True
+    kk = capacity + 4
+    if _pick_blocks_x(capacity, kk, X, Y, max_shift, zp, _BUDGET) is None:
+        return False
+    return _pick_blocks_yz(kk, kk, capacity, X, Y, max_shift, zp, _BUDGET) is not None
 
 
 _SLACK_BYTE_BUDGET = 2 << 30  # per-stage buffer size above which slack drops
@@ -460,34 +562,31 @@ def rebin_slot_major(
     sm: SlotMajorTable, max_shift: int, slack: int | None = None,
     interpret: bool = False
 ) -> SlotMajorTable:
-    """Drop-in slot-major equivalent of sim/table.py::rebin: axis-split pack
-    x -> y -> z with capacity K -> K+slack -> K+slack -> K. Per-cell particle
-    multisets match the XLA rebin exactly (slot order may differ; overflow
-    victims may differ — see the module docstring).
-
-    A whole-stage lax.cond skip on per-axis mover flags was tried and
-    REMOVED: on the benched flows (dam break, CFL-substepped) some particle
-    always moves along every axis, so the mover scan + cond boundaries cost
-    ~3 ms/step and never paid off; per-BLOCK early-exit inside the stage
-    kernel already covers calm regions at finer grain."""
+    """Drop-in slot-major equivalent of sim/table.py::rebin: pack along x
+    (capacity K -> K+slack), then a fused y+z pack (K+slack -> K). Per-cell
+    particle multisets match the XLA rebin exactly (slot order may differ;
+    overflow victims may differ — see the module docstring)."""
     X, Y, Z = sm.grid_dim
     posq, dyn = sm.posq, sm.dyn
     k = posq.shape[0]
     if slack is None:
         slack = default_slack((posq.size + dyn.size) * 4, k)
     before = jnp.sum(posq[:, CH_VALID] > 0.5)
-    for axis in range(3):
-        k_out = k + slack if axis < 2 else k
-        blocks = _pick_blocks(
-            axis, posq.shape[0], k_out, X, Y, max_shift, posq.shape[4], _BUDGET
-        )
-        assert blocks is not None, "caller must gate on supports()"
-        bx, by = blocks
-        posq, dyn = _rebin_stage(
-            posq, dyn,
-            axis=axis, s=max_shift, k_out=k_out, dim_a=sm.grid_dim[axis],
-            bx=bx, by=by, interpret=interpret,
-        )
+
+    k_mid = k + slack
+    bx, by = _pick_blocks_x(k, k_mid, X, Y, max_shift, posq.shape[4], _BUDGET)
+    posq, dyn = _rebin_stage_x(
+        posq, dyn, s=max_shift, k_out=k_mid, dim_a=X, bx=bx, by=by,
+        interpret=interpret,
+    )
+    blocks = _pick_blocks_yz(k_mid, k_mid, k, X, Y, max_shift, posq.shape[4], _BUDGET)
+    assert blocks is not None, "caller must gate on supports()"
+    bx, by = blocks
+    posq, dyn = _rebin_stage_yz(
+        posq, dyn, s=max_shift, k_mid=k_mid, k_out=k, dim_y=Y, dim_z=Z,
+        bx=bx, by=by, interpret=interpret,
+    )
+
     after = jnp.sum(posq[:, CH_VALID] > 0.5)
     lost = sm.lost + (before - after).astype(jnp.int32)
     return SlotMajorTable(posq=posq, dyn=dyn, lost=lost, grid_dim=sm.grid_dim)

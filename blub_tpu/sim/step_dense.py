@@ -238,7 +238,10 @@ def _step_slot_major(
     vel = extrapolate_velocity(vel, marker)
 
     # --- advection + rebin ----------------------------------------------------
-    table = advect_sm_pallas(table, vel, occupancy, solid_vel, dt, interpret=interp)
+    table, max_speed = advect_sm_pallas(
+        table, vel, occupancy, solid_vel, dt, interpret=interp,
+        with_max_speed=True,
+    )
     table = rebin_slot_major(table, max_shift=2, interpret=interp)
 
     # --- implicit density projection ------------------------------------------
@@ -261,7 +264,9 @@ def _step_slot_major(
         step_index=state.step_index + 1,
         stats_vel=res_vel.stats,
         stats_den=res_den.stats,
-        max_speed=table.max_speed(),
+        # advect-kernel by-product (f32, pre-bf16-store); position correction
+        # doesn't change velocities, so this is the step's final max |v|
+        max_speed=max_speed,
     )
 
 
@@ -289,7 +294,7 @@ def frame_dense(
     params: SimParams,
     state: DenseFluidState,
     solids: Optional[SolidState] = None,
-    cfl_target: float = 1.5,
+    cfl_target: float = 1.9,
     max_substeps: int = 4,
 ):
     """One display frame (params.dt of sim time) with ON-DEVICE CFL control:
@@ -319,7 +324,7 @@ def multi_frame_dense(
     state: DenseFluidState,
     num_frames: int,
     solids: Optional[SolidState] = None,
-    cfl_target: float = 1.5,
+    cfl_target: float = 1.9,
     max_substeps: int = 4,
 ):
     """N frames fused in one device program; the analog of the reference's
