@@ -365,7 +365,7 @@ def _stage_x_kernel(
 
 
 def _stage_yz_kernel(
-    posq_hbm, dyn_hbm, outp_ref, outd_ref, winp, wind, midp, midd, sems,
+    posq_hbm, dyn_hbm, outp_ref, outd_ref, cnt_ref, winp, wind, midp, midd, sems,
     *, s, k_in, k_mid, k_out, bx, by, X, Y, Zp, dim_y, dim_z,
 ):
     """Fused y-then-z pack: window -> mid scratch (y) -> out (z). The z pack
@@ -400,6 +400,15 @@ def _stage_yz_kernel(
         riota=riota,
         gout_base=0,
     )
+
+    # per-block surviving-particle count as a by-product (the lost counter
+    # needs one table-wide count per rebin; this removes the XLA sweep)
+    cnt = jnp.zeros((), jnp.float32)
+    for q in range(k_out):
+        cnt = cnt + jnp.sum(outp_ref[q, CH_VALID])
+    ii = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    cnt_ref[...] = jnp.where((ii == 0) & (jj == 0), cnt, 0.0)
 
 
 @functools.partial(
@@ -479,10 +488,12 @@ def _rebin_stage_yz(
                 (k_out, NUM_DYN, bx, by, Zp), lambda i, j: (0, 0, i, j, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((8, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((k_out, NUM_POSQ, X, Y, Zp), jnp.float32),
             jax.ShapeDtypeStruct((k_out, NUM_DYN, X, Y, Zp), jnp.float32),
+            jax.ShapeDtypeStruct((8 * (X // bx), 128 * (Y // by)), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((k_in, NUM_POSQ, bx, by + 2 * _YH, Zp), jnp.float32),
@@ -560,18 +571,24 @@ def default_slack(table_nbytes: int, capacity: int) -> int:
 
 def rebin_slot_major(
     sm: SlotMajorTable, max_shift: int, slack: int | None = None,
-    interpret: bool = False
+    interpret: bool = False, before_count=None,
 ) -> SlotMajorTable:
     """Drop-in slot-major equivalent of sim/table.py::rebin: pack along x
     (capacity K -> K+slack), then a fused y+z pack (K+slack -> K). Per-cell
     particle multisets match the XLA rebin exactly (slot order may differ;
-    overflow victims may differ — see the module docstring)."""
+    overflow victims may differ — see the module docstring).
+
+    ``before_count``: the table's current particle count (i32 scalar), if the
+    caller tracks it (the step does: count = initial - lost, since only
+    rebins drop particles). Saves a whole-table XLA reduction; the AFTER
+    count is a free by-product of the yz kernel."""
     X, Y, Z = sm.grid_dim
     posq, dyn = sm.posq, sm.dyn
     k = posq.shape[0]
     if slack is None:
         slack = default_slack((posq.size + dyn.size) * 4, k)
-    before = jnp.sum(posq[:, CH_VALID] > 0.5)
+    if before_count is None:
+        before_count = jnp.sum(posq[:, CH_VALID] > 0.5)
 
     k_mid = k + slack
     bx, by = _pick_blocks_x(k, k_mid, X, Y, max_shift, posq.shape[4], _BUDGET)
@@ -582,11 +599,11 @@ def rebin_slot_major(
     blocks = _pick_blocks_yz(k_mid, k_mid, k, X, Y, max_shift, posq.shape[4], _BUDGET)
     assert blocks is not None, "caller must gate on supports()"
     bx, by = blocks
-    posq, dyn = _rebin_stage_yz(
+    posq, dyn, cnt = _rebin_stage_yz(
         posq, dyn, s=max_shift, k_mid=k_mid, k_out=k, dim_y=Y, dim_z=Z,
         bx=bx, by=by, interpret=interpret,
     )
 
-    after = jnp.sum(posq[:, CH_VALID] > 0.5)
-    lost = sm.lost + (before - after).astype(jnp.int32)
+    after = jnp.sum(cnt).astype(jnp.int32)
+    lost = sm.lost + (jnp.asarray(before_count, jnp.int32) - after)
     return SlotMajorTable(posq=posq, dyn=dyn, lost=lost, grid_dim=sm.grid_dim)

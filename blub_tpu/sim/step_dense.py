@@ -201,7 +201,7 @@ def _step_slot_major(
     the particle table stays resident in slot-major layout and every
     table-heavy phase is a kernel (P2G, both rebins) or a slot-major XLA port
     (marker, advect, correct) — zero layout conversions per step."""
-    from ..ops import pallas_pcg
+    from ..ops import pallas_gridfix, pallas_pcg
     from ..ops.pallas_advect import advect_sm_pallas, correct_sm_pallas
     from ..ops.pallas_p2g import (
         normalize_velocity,
@@ -234,15 +234,25 @@ def _step_slot_major(
 
     # --- pressure projection (velocity) --------------------------------------
     res_vel = solve(state.pressure_vel, rhs, marker, params.solver_vel, dt)
-    vel = remove_divergence(vel, res_vel.pressure, marker, solid_vel)
-    vel = extrapolate_velocity(vel, marker)
+    if pallas_gridfix.supports(params.grid_dim):
+        vel = pallas_gridfix.remove_extrapolate_pallas(
+            vel, res_vel.pressure, marker, solid_vel, interpret=interp
+        )
+    else:
+        vel = remove_divergence(vel, res_vel.pressure, marker, solid_vel)
+        vel = extrapolate_velocity(vel, marker)
 
     # --- advection + rebin ----------------------------------------------------
     table, max_speed = advect_sm_pallas(
         table, vel, occupancy, solid_vel, dt, interpret=interp,
         with_max_speed=True,
     )
-    table = rebin_slot_major(table, max_shift=2, interpret=interp)
+    # current count = initial - lost (only rebins drop particles), so the
+    # rebin's lost accounting needs no table-wide reduction
+    n0 = jnp.int32(params.num_particles)
+    table = rebin_slot_major(
+        table, max_shift=2, interpret=interp, before_count=n0 - table.lost
+    )
 
     # --- implicit density projection ------------------------------------------
     raw_density, fluid_cnt = p2g_density_pallas(
@@ -252,10 +262,17 @@ def _step_slot_major(
     den_rhs = density_rhs_from_raw(raw_density, marker2, dt)
     res_den = solve(state.pressure_den, den_rhs, marker2, params.solver_den, dt)
 
-    change = position_change_field(res_den.pressure, marker2, dt)
-    change = extrapolate_velocity(change, marker2)
+    if pallas_gridfix.supports(params.grid_dim):
+        change = pallas_gridfix.change_extrapolate_pallas(
+            res_den.pressure, marker2, dt, interpret=interp
+        )
+    else:
+        change = position_change_field(res_den.pressure, marker2, dt)
+        change = extrapolate_velocity(change, marker2)
     table = correct_sm_pallas(table, change, marker2, interpret=interp)
-    table = rebin_slot_major(table, max_shift=1, interpret=interp)
+    table = rebin_slot_major(
+        table, max_shift=1, interpret=interp, before_count=n0 - table.lost
+    )
 
     return DenseFluidState(
         table=table,
