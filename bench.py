@@ -2,21 +2,27 @@
 particles on one TPU chip (BASELINE.md).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N, ...,
+   "highres": {...}}
 
 vs_baseline compares against the reference's implied bar: its 120 steps/s
 realtime design point (src/simulation_controller.rs:39) at dam_halfhalf scale
 on a GTX 1070 Ti — the reference publishes no measured numbers (BASELINE.md).
 
-This measures the HONEST path (VERDICT.md weak #3/#4): scan-batched frames
-with on-device CFL substepping, the same mass-conserving configuration the
-Scene runtime uses. A "step" is one dt=1/120 frame of simulated time
-(apples-to-apples with the reference bar); CFL substeps are internal cost and
-reported separately.
+This measures the HONEST path: scan-batched frames with on-device CFL
+substepping, the same mass-conserving configuration the Scene runtime uses.
+A "step" is one dt=1/120 frame of simulated time (apples-to-apples with the
+reference bar); CFL substeps are internal cost and reported separately.
+
+The `highres` sub-object is the same measurement at the 256x128x128 /
+8M-particle north-star scale (BASELINE.md >60 steps/s target; VERDICT.md r2
+weak #2 asked for this as a bench artifact, not PERF.md prose). cfl 1.5
+there: the loss budget at that scale rules out 1.9 (PERF.md).
 
 Env knobs: BLUB_BENCH_GRID=x,y,z  BLUB_BENCH_STEPS=N  BLUB_BENCH_CAPACITY=K
            BLUB_BENCH_BATCH=B (frames per dispatch)  BLUB_BENCH_RAW=1
            (legacy raw fixed-dt single-step loop, no substepping)
+           BLUB_BENCH_NO_HIGHRES=1 (skip the highres sub-benchmark)
 """
 
 from __future__ import annotations
@@ -28,25 +34,17 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def run_config(grid, n_steps, capacity, batch, cfl, raw):
     import jax
 
     from blub_tpu.core.seeding import add_fluid_cube
     from blub_tpu.core.types import SimParams
+    from blub_tpu.sim.axis_layout import choose_perm, permute_params, permute_positions
     from blub_tpu.sim.step_dense import (
         make_dense_state,
         make_jitted_dense_step,
         multi_frame_dense,
     )
-
-    # Default: dam_halfhalf scale (the reference's standard scene:
-    # 128x64x64 grid, ~1M particles; scenes/dam_halfhalf.json).
-    grid = tuple(int(v) for v in os.environ.get("BLUB_BENCH_GRID", "128,64,64").split(","))
-    n_steps = int(os.environ.get("BLUB_BENCH_STEPS", "32"))
-    capacity = int(os.environ.get("BLUB_BENCH_CAPACITY", "16"))
-    batch = int(os.environ.get("BLUB_BENCH_BATCH", "16"))
-    cfl = float(os.environ.get("BLUB_BENCH_CFL", "1.9"))
-    raw = bool(os.environ.get("BLUB_BENCH_RAW"))
 
     # Dam filling the lower-left half: ~1/4 of cells -> grid(128^3) ~ 4M particles.
     x, y, z = grid
@@ -56,8 +54,6 @@ def main() -> None:
     )
     # internal lane-friendly axis order (sim/axis_layout.py): same physics,
     # minimal 128-lane padding waste (e.g. 128x64x64 runs as 64x64x128)
-    from blub_tpu.sim.axis_layout import choose_perm, permute_params, permute_positions
-
     perm = choose_perm(grid)
     params = permute_params(params, perm)
     pos = permute_positions(pos, perm)
@@ -104,7 +100,7 @@ def main() -> None:
     steps_per_s = frames / wall
     n0 = pos.shape[0]
     lost = int(np.asarray(jax.device_get(state.table.lost)))
-    result = {
+    return {
         "metric": f"sim steps/sec (dt=1/120 frames, CFL-substepped), {x}x{y}x{z} grid, {n0} particles, 1 chip",
         "value": round(steps_per_s, 2),
         "unit": "steps/s",
@@ -116,6 +112,29 @@ def main() -> None:
         "lost_particles": lost,
         "lost_pct": round(100.0 * lost / n0, 3),
     }
+
+
+def main() -> None:
+    # Default: dam_halfhalf scale (the reference's standard scene:
+    # 128x64x64 grid, ~1M particles; scenes/dam_halfhalf.json).
+    grid = tuple(int(v) for v in os.environ.get("BLUB_BENCH_GRID", "128,64,64").split(","))
+    n_steps = int(os.environ.get("BLUB_BENCH_STEPS", "32"))
+    capacity = int(os.environ.get("BLUB_BENCH_CAPACITY", "16"))
+    batch = int(os.environ.get("BLUB_BENCH_BATCH", "16"))
+    cfl = float(os.environ.get("BLUB_BENCH_CFL", "1.9"))
+    raw = bool(os.environ.get("BLUB_BENCH_RAW"))
+
+    result = run_config(grid, n_steps, capacity, batch, cfl, raw)
+
+    custom = "BLUB_BENCH_GRID" in os.environ or raw
+    if not custom and not os.environ.get("BLUB_BENCH_NO_HIGHRES"):
+        try:
+            hr = run_config((256, 128, 128), 16, capacity, 16, min(cfl, 1.5), raw=False)
+            hr["vs_baseline"] = round(hr["value"] / 60.0, 3)  # >60 steps/s north star
+        except Exception as e:  # keep the headline line no matter what
+            hr = {"error": f"{type(e).__name__}: {e}"[:300]}
+        result["highres"] = hr
+
     print(json.dumps(result))
 
 

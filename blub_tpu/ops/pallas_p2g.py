@@ -84,24 +84,47 @@ def _kernel(
         srcs = ((posq_hbm, winp), (dyn_hbm, wind))
     i = pl.program_id(0)
     j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    it = i * nj + j
+    slot = jax.lax.rem(it, 2)
 
-    # 9-part window DMA per source: x parts [1 | bx | 1], y parts [8 | by | 8]
-    xparts, yparts = _window_parts(i, j, bx, by, X, Y)
-    copies = []
-    for t, (hbm, win) in enumerate(srcs):
-        for n, (xs, xd, xn) in enumerate(xparts):
-            for m, (ys, yd, yn) in enumerate(yparts):
-                copies.append(
-                    pltpu.make_async_copy(
-                        hbm.at[:, :, pl.ds(xs, xn), pl.ds(ys, yn), :],
-                        win.at[:, :, pl.ds(xd, xn), pl.ds(yd, yn), :],
-                        sems.at[9 * t + n * 3 + m],
+    # 9-part window DMA per source: x parts [1 | bx | 1], y parts [8 | by | 8].
+    # Windows are double-buffered: block n+1's window streams in while block n
+    # computes (the window DMA is the bulk of calm-flow P2G time).
+    def parts(ii, jj, sl):
+        xparts, yparts = _window_parts(ii, jj, bx, by, X, Y)
+        copies = []
+        for t, (hbm, win) in enumerate(srcs):
+            for n, (xs, xd, xn) in enumerate(xparts):
+                for m, (ys, yd, yn) in enumerate(yparts):
+                    copies.append(
+                        pltpu.make_async_copy(
+                            hbm.at[:, :, pl.ds(xs, xn), pl.ds(ys, yn), :],
+                            win.at[sl, :, :, pl.ds(xd, xn), pl.ds(yd, yn), :],
+                            sems.at[sl, 9 * t + n * 3 + m],
+                        )
                     )
-                )
-    for c in copies:
-        c.start()
-    for c in copies:
+        return copies
+
+    @pl.when(it == 0)
+    def _warm():
+        for c in parts(i, j, slot):
+            c.start()
+
+    nxt = it + 1
+
+    @pl.when(nxt < ni * nj)
+    def _prefetch():
+        for c in parts(nxt // nj, jax.lax.rem(nxt, nj), 1 - slot):
+            c.start()
+
+    for c in parts(i, j, slot):
         c.wait()
+    if density_only:
+        winp = winp.at[slot]
+    else:
+        winp, wind = winp.at[slot], wind.at[slot]
 
     # global coordinates of the output core
     gx = (i * bx + jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 0)).astype(jnp.float32)
@@ -236,7 +259,7 @@ def p2g_accumulate(
         _kernel, bx=bx, by=by, X=x, Y=y, z=zp,
         density_only=density_only, velocity_only=velocity_only,
     )
-    win_shape = (k, NUM_POSQ, bx + 2, by + 2 * _YH, zp)
+    win_shape = (2, k, NUM_POSQ, bx + 2, by + 2 * _YH, zp)
     scratch = [pltpu.VMEM(win_shape, jnp.float32)]
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
     inputs = [posq]
@@ -245,10 +268,10 @@ def p2g_accumulate(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         inputs.append(dyn)
         scratch.append(
-            pltpu.VMEM((k, NUM_DYN, bx + 2, by + 2 * _YH, zp), jnp.float32)
+            pltpu.VMEM((2, k, NUM_DYN, bx + 2, by + 2 * _YH, zp), jnp.float32)
         )
         nsem = 18
-    scratch.append(pltpu.SemaphoreType.DMA((nsem,)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, nsem)))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -266,16 +289,17 @@ def p2g_accumulate(
 
 
 def _pick_blocks(x: int, y: int, zp: int, k: int, budget_bytes: int = 64 << 20):
-    """(bx, by) with the halo window inside the VMEM budget. Wide by is
-    preferred: the y halo parts are fixed 8-wide (sublane alignment), so the
-    window read amplification is (by+16)/by."""
+    """(bx, by) with the double-buffered halo window inside the VMEM budget.
+    Wide by is preferred: the y halo parts are fixed 8-wide (sublane
+    alignment), so the window read amplification is (by+16)/by."""
     assert y % 8 == 0, f"pallas p2g requires Y divisible by 8, got {y}"
     nch = NUM_POSQ + NUM_DYN
     for by in (32, 16, 8):
         if y % by:
             continue
         for bx in (8, 4, 2, 1):
-            if x % bx == 0 and k * nch * (bx + 2) * (by + 2 * _YH) * zp * 4 <= budget_bytes:
+            win = 2 * k * nch * (bx + 2) * (by + 2 * _YH) * zp * 4
+            if x % bx == 0 and win <= budget_bytes:
                 return bx, by
     return 1, 8
 
@@ -307,7 +331,7 @@ def supports(grid_dim, capacity: int) -> bool:
         return False
     zp = max(128, -(-z // 128) * 128)
     nch = NUM_POSQ + NUM_DYN
-    return capacity * nch * 3 * (8 + 2 * _YH) * zp * 4 <= (64 << 20)
+    return 2 * capacity * nch * 3 * (8 + 2 * _YH) * zp * 4 <= (64 << 20)
 
 
 def p2g_raw_accumulators(table, interpret: bool = False, with_density: bool = True):

@@ -24,7 +24,12 @@ assignment arithmetic. Per-cell particle multisets match sim/table.py::rebin
 exactly whenever nothing overflows (always, with CFL substepping + slack);
 under overflow the kept COUNT matches but the victim choice differs — stayers
 always survive here, the oracle keeps the first k_out candidates in offset
-order. All bin/flag arithmetic runs on the f32 position channels (posq) on
+order. The kernel's exact pack order (placement included, overflow or not) is
+THE SPEC, pinned by an independent per-cell simulator in
+tests/test_rebin_overflow_spec.py: stayers with slot q < k_out keep slot q;
+movers queue as tail stayers (ascending q), then offsets -s..-1,+1..+s (slots
+ascending within each); the queue fills empty output slots in ascending-slot
+order and overflow drops the queue's tail. All bin/flag arithmetic runs on the f32 position channels (posq) on
 the VPU — never a matmul (MXU f32 matmuls run as bf16 on this platform; see
 tests/test_pallas.py::test_rebin_is_bit_exact). Payload transport is
 bit-exact for both arrays: posq moves as mask*value (exact for 0/1 masks on
@@ -273,26 +278,29 @@ def _ref_writers(outp_ref, outd_ref):
     return write_p, write_d, read_out_d
 
 
-def _window_parts(hbm, win, sems, sem0, axis, i, j, *, s, bx, by, X, Y):
-    """3-part haloed window DMA along `axis` (0 or 1)."""
+def _window_parts(hbm, win, sems, sem0, axis, i, j, slot, *, s, bx, by, X, Y):
+    """3-part haloed window DMA along `axis` (0 or 1) into window buffer
+    `slot` (the windows are double-buffered: block n+1's window streams in
+    while block n computes — the rebin floor in calm flow is copy-through
+    DMA, so overlapping it with compute is the whole ballgame)."""
     if axis == 0:
         a0 = jnp.clip(i * bx - s, 0, X - s)
         c0 = jnp.clip(i * bx + bx, 0, X - s)
         return [
             pltpu.make_async_copy(
                 hbm.at[:, :, pl.ds(a0, s), pl.ds(j * by, by), :],
-                win.at[:, :, pl.ds(0, s)],
-                sems.at[sem0],
+                win.at[slot, :, :, pl.ds(0, s)],
+                sems.at[slot, sem0],
             ),
             pltpu.make_async_copy(
                 hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
-                win.at[:, :, pl.ds(s, bx)],
-                sems.at[sem0 + 1],
+                win.at[slot, :, :, pl.ds(s, bx)],
+                sems.at[slot, sem0 + 1],
             ),
             pltpu.make_async_copy(
                 hbm.at[:, :, pl.ds(c0, s), pl.ds(j * by, by), :],
-                win.at[:, :, pl.ds(s + bx, s)],
-                sems.at[sem0 + 2],
+                win.at[slot, :, :, pl.ds(s + bx, s)],
+                sems.at[slot, sem0 + 2],
             ),
         ]
     a0 = jnp.clip(j * by - _YH, 0, Y - _YH)
@@ -300,20 +308,59 @@ def _window_parts(hbm, win, sems, sem0, axis, i, j, *, s, bx, by, X, Y):
     return [
         pltpu.make_async_copy(
             hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(a0, _YH), :],
-            win.at[:, :, :, pl.ds(0, _YH)],
-            sems.at[sem0],
+            win.at[slot, :, :, :, pl.ds(0, _YH)],
+            sems.at[slot, sem0],
         ),
         pltpu.make_async_copy(
             hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
-            win.at[:, :, :, pl.ds(_YH, by)],
-            sems.at[sem0 + 1],
+            win.at[slot, :, :, :, pl.ds(_YH, by)],
+            sems.at[slot, sem0 + 1],
         ),
         pltpu.make_async_copy(
             hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(c0, _YH), :],
-            win.at[:, :, :, pl.ds(_YH + by, _YH)],
-            sems.at[sem0 + 2],
+            win.at[slot, :, :, :, pl.ds(_YH + by, _YH)],
+            sems.at[slot, sem0 + 2],
         ),
     ]
+
+
+def _pipelined_window(posq_hbm, dyn_hbm, winp, wind, sems, axis, *, s, bx, by, X, Y):
+    """Double-buffered window acquisition for the current grid step.
+
+    Starts block 0's window on the first step, prefetches the NEXT block's
+    window into the other buffer, then waits for the current block's window.
+    Returns (winp_view, wind_view) ref views for the current block. Grid
+    iteration order is row-major with the last grid axis fastest, so the
+    linear step index is i * nj + j."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    it = i * nj + j
+    slot = jax.lax.rem(it, 2)
+
+    def parts(ii, jj, sl):
+        return _window_parts(
+            posq_hbm, winp, sems, 0, axis, ii, jj, sl, s=s, bx=bx, by=by, X=X, Y=Y
+        ) + _window_parts(
+            dyn_hbm, wind, sems, 3, axis, ii, jj, sl, s=s, bx=bx, by=by, X=X, Y=Y
+        )
+
+    @pl.when(it == 0)
+    def _warm():
+        for c in parts(i, j, slot):
+            c.start()
+
+    nxt = it + 1
+
+    @pl.when(nxt < ni * nj)
+    def _prefetch():
+        for c in parts(nxt // nj, jax.lax.rem(nxt, nj), 1 - slot):
+            c.start()
+
+    for c in parts(i, j, slot):
+        c.wait()
+    return winp.at[slot], wind.at[slot]
 
 
 def _rowok(axis, i, j, wshape, *, s, bx, by, X, Y):
@@ -346,19 +393,16 @@ def _stage_x_kernel(
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    copies = _window_parts(posq_hbm, winp, sems, 0, 0, i, j, s=s, bx=bx, by=by, X=X, Y=Y)
-    copies += _window_parts(dyn_hbm, wind, sems, 3, 0, i, j, s=s, bx=bx, by=by, X=X, Y=Y)
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    winp_v, wind_v = _pipelined_window(
+        posq_hbm, dyn_hbm, winp, wind, sems, 0, s=s, bx=bx, by=by, X=X, Y=Y
+    )
 
     write_p, write_d, read_out_d = _ref_writers(outp_ref, outd_ref)
     _pack_core(
-        winp, wind, write_p, write_d, read_out_d,
+        winp_v, wind_v, write_p, write_d, read_out_d,
         axis=0, s=s, k_in=k_in, k_out=k_out, bx=bx, by=by, Zp=Zp, dim_a=dim_a,
         core=(slice(s, s + bx), slice(None), slice(None)),
-        rowok=_rowok(0, i, j, winp.shape[2:], s=s, bx=bx, by=by, X=X, Y=Y),
+        rowok=_rowok(0, i, j, winp_v.shape[2:], s=s, bx=bx, by=by, X=X, Y=Y),
         riota=None,
         gout_base=i * bx,
     )
@@ -373,19 +417,16 @@ def _stage_yz_kernel(
     disappears."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    copies = _window_parts(posq_hbm, winp, sems, 0, 1, i, j, s=s, bx=bx, by=by, X=X, Y=Y)
-    copies += _window_parts(dyn_hbm, wind, sems, 3, 1, i, j, s=s, bx=bx, by=by, X=X, Y=Y)
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+    winp_v, wind_v = _pipelined_window(
+        posq_hbm, dyn_hbm, winp, wind, sems, 1, s=s, bx=bx, by=by, X=X, Y=Y
+    )
 
     mw_p, mw_d, m_read = _ref_writers(midp, midd)
     _pack_core(
-        winp, wind, mw_p, mw_d, m_read,
+        winp_v, wind_v, mw_p, mw_d, m_read,
         axis=1, s=s, k_in=k_in, k_out=k_mid, bx=bx, by=by, Zp=Zp, dim_a=dim_y,
         core=(slice(None), slice(_YH, _YH + by), slice(None)),
-        rowok=_rowok(1, i, j, winp.shape[2:], s=s, bx=bx, by=by, X=X, Y=Y),
+        rowok=_rowok(1, i, j, winp_v.shape[2:], s=s, bx=bx, by=by, X=X, Y=Y),
         riota=None,
         gout_base=j * by,
     )
@@ -446,9 +487,9 @@ def _rebin_stage_x(
             jax.ShapeDtypeStruct((k_out, NUM_DYN, X, Y, Zp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((k_in, NUM_POSQ, bx + 2 * s, by, Zp), jnp.float32),
-            pltpu.VMEM((k_in, NUM_DYN, bx + 2 * s, by, Zp), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.VMEM((2, k_in, NUM_POSQ, bx + 2 * s, by, Zp), jnp.float32),
+            pltpu.VMEM((2, k_in, NUM_DYN, bx + 2 * s, by, Zp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 6)),
         ],
         compiler_params=None
         if interpret
@@ -496,11 +537,11 @@ def _rebin_stage_yz(
             jax.ShapeDtypeStruct((8 * (X // bx), 128 * (Y // by)), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((k_in, NUM_POSQ, bx, by + 2 * _YH, Zp), jnp.float32),
-            pltpu.VMEM((k_in, NUM_DYN, bx, by + 2 * _YH, Zp), jnp.float32),
+            pltpu.VMEM((2, k_in, NUM_POSQ, bx, by + 2 * _YH, Zp), jnp.float32),
+            pltpu.VMEM((2, k_in, NUM_DYN, bx, by + 2 * _YH, Zp), jnp.float32),
             pltpu.VMEM((k_mid, NUM_POSQ, bx, by, Zp), jnp.float32),
             pltpu.VMEM((k_mid, NUM_DYN, bx, by, Zp), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((2, 6)),
         ],
         compiler_params=None
         if interpret
@@ -514,7 +555,7 @@ def _pick_blocks_x(k_in, k_out, X, Y, s, Zp, budget):
     for bx in (16, 8, 4, 2):
         if bx < s or X % bx:
             continue
-        win = k_in * _NCH * (bx + 2 * s) * by * Zp * 4
+        win = 2 * k_in * _NCH * (bx + 2 * s) * by * Zp * 4
         out = k_out * _NCH * bx * by * Zp * 4
         if win + out <= budget:
             return bx, by
@@ -522,15 +563,15 @@ def _pick_blocks_x(k_in, k_out, X, Y, s, Zp, budget):
 
 
 def _pick_blocks_yz(k_in, k_mid, k_out, X, Y, s, Zp, budget):
-    """Window + mid scratch + out must fit; wide by keeps the y-halo read
-    amplification down ((by+16)/by)."""
+    """Window (x2 buffers) + mid scratch + out must fit; wide by keeps the
+    y-halo read amplification down ((by+16)/by)."""
     for by in (32, 16, 8):
         if Y % by:
             continue
         for bx in (8, 4, 2, 1):
             if X % bx:
                 continue
-            win = k_in * _NCH * bx * (by + 2 * _YH) * Zp * 4
+            win = 2 * k_in * _NCH * bx * (by + 2 * _YH) * Zp * 4
             mid = k_mid * _NCH * bx * by * Zp * 4
             out = k_out * _NCH * bx * by * Zp * 4
             if win + mid + out <= budget:
@@ -538,8 +579,8 @@ def _pick_blocks_yz(k_in, k_mid, k_out, X, Y, s, Zp, budget):
     return None
 
 
-_BUDGET = 30 << 20  # window + mid + out blocks; Mosaic pack temporaries ride
-                    # on top within the 100MB vmem limit
+_BUDGET = 38 << 20  # 2x window + mid + out blocks; Mosaic pack temporaries
+                    # ride on top within the 100MB vmem limit
 
 
 def supports(grid_dim, capacity: int, max_shift: int) -> bool:

@@ -201,7 +201,7 @@ def _step_slot_major(
     the particle table stays resident in slot-major layout and every
     table-heavy phase is a kernel (P2G, both rebins) or a slot-major XLA port
     (marker, advect, correct) — zero layout conversions per step."""
-    from ..ops import pallas_gridfix, pallas_pcg
+    from ..ops import pallas_gridfix, pallas_pcg, pallas_pcg_blocked
     from ..ops.pallas_advect import advect_sm_pallas, correct_sm_pallas
     from ..ops.pallas_p2g import (
         normalize_velocity,
@@ -213,10 +213,14 @@ def _step_slot_major(
     from .sm_phases import marker_from_counts
 
     interp = _interpret_kernels()
-    # whole-solve VMEM PCG on real TPUs when the grid fits (the CPU/interpret
-    # path keeps the XLA oracle; kernel equivalence: tests/test_pcg_pallas.py)
+    # pressure solver ladder on real TPUs (CPU/interpret keeps the XLA oracle):
+    # whole-solve VMEM kernel when the grid fits (tests/test_pcg_pallas.py),
+    # else the blocked beyond-VMEM kernel (tests/test_pcg_blocked.py) — the
+    # 256x128x128 north star's ~201 MB grid set lands here (VERDICT.md r2 #2)
     if not interp and pallas_pcg.supports(params.grid_dim):
         solve = pallas_pcg.solve_pressure_pallas
+    elif not interp and pallas_pcg_blocked.supports(params.grid_dim):
+        solve = pallas_pcg_blocked.solve_pressure_blocked
     else:
         solve = solve_pressure
     table: SlotMajorTable = state.table

@@ -157,6 +157,14 @@ def rebin(table: ParticleTable, max_shift: int, slack: int = 4) -> ParticleTable
     axis-delta code (i32[X,Y,Z,K]) rather than full position vectors, and all
     15 payload floats (pos, vel, affine) move through ONE onehot matmul per
     stage; the next stage recomputes its delta from the packed positions.
+
+    Overflow semantics: per cell this keeps the FIRST k_out candidates in
+    offset order (own cell first, then -s..+s neighbors, slots ascending).
+    The Pallas kernel (ops/pallas_rebin.py) deliberately differs under
+    overflow — stayers always survive there, and movers fill empty slots in
+    a pinned queue order. The kernel's choice is asserted bit-for-bit as the
+    production spec by tests/test_rebin_overflow_spec.py; the two agree on
+    per-cell multisets whenever nothing overflows (tests/test_rebin_pallas.py).
     """
     k = table.capacity
     grid_dim = table.grid_dim
