@@ -37,9 +37,14 @@ def _renderer(scene, args):
         VolumeVisualizationMode,
     )
 
+    from .render.camera import Camera
+
+    spec = getattr(args, "camera", "")
+    camera = Camera.parse(spec, scene.grid_dim_external) if spec else None
     return SceneRenderer(
         scene.grid_dim_external,
-        RenderSettings(
+        camera=camera,
+        settings=RenderSettings(
             width=args.width,
             height=args.height,
             fluid_mode=FluidRenderingMode(args.fluid_mode),
@@ -74,7 +79,7 @@ def _draw(scene, renderer):
     ):
         t = scene.total_simulated_time
         solid_meshes = [
-            (o.mesh_at(t), o.mesh_faces, o.mesh_albedo)
+            (o.mesh_at(t), o.mesh_faces, o.mesh_albedo, o.mesh_uv, o.mesh_texture)
             for o in scene.solid_objects
             if o.mesh_verts is not None
         ]
@@ -256,6 +261,11 @@ def main(argv=None) -> int:
         sp.add_argument("--no-solids", action="store_true",
                         help="hide solid object meshes")
         sp.add_argument("--output-dir", default=".")
+        sp.add_argument(
+            "--camera", default="",
+            help="viewpoint 'px,py,pz[:tx,ty,tz[:fov_deg]]' in grid units "
+                 "(default: auto-framed; target defaults to domain center)",
+        )
 
     sp = sub.add_parser("info", help="print scene facts")
     sp.add_argument("scene")

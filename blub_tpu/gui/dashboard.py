@@ -51,7 +51,8 @@ class Dashboard:
     # ---------------------------------------------------------------- frame
 
     def collect(self) -> None:
-        stats = self.ctl.scene.solver_stats()
+        # non-blocking: never stalls the step pipeline (<=1 frame stale)
+        stats = self.ctl.scene.solver_stats(block=False)
         self.err_vel.append(stats["velocity"]["error"])
         self.err_den.append(stats["density"]["error"])
         self.iters_vel.append(stats["velocity"]["iterations"])
@@ -62,7 +63,7 @@ class Dashboard:
     def render(self) -> str:
         scene = self.ctl.scene
         cfg = scene.config
-        stats = scene.solver_stats()
+        stats = scene.solver_stats(block=False)
         status = self.ctl.status.value
         lines = [
             f"\x1b[1mblub-tpu\x1b[0m  scene \x1b[36m{cfg.name}\x1b[0m   grid {cfg.fluid.grid_dimension}   "
@@ -95,6 +96,7 @@ class Dashboard:
             "",
             "  [space] pause  [f] +1s  [r] reset  [s] screenshot  [n] next scene  [q] quit",
             "  [t/T] tolerance  [i/I] max iters  [c/C] check freq  [m] fluid mode  [v] volume mode  [</>] time scale",
+            "  camera: [h/l] orbit  [j/k] tilt  [z/x] dolly  [w/a/d/e] fly  [0] reframe",
         ]
         if self._msg:
             lines.append(f"  \x1b[33m{self._msg}\x1b[0m")
@@ -159,7 +161,42 @@ class Dashboard:
             self._msg = f"time scale -> {self.ctl.time_scale:g}x"
         elif key == "n":
             self._next_scene()
+        elif key in "hljkzx0wade" and self.renderer is not None:
+            self._camera_key(key)
         return True
+
+    def _camera_key(self, key: str) -> None:
+        """Terminal fly/orbit camera (the reference's WASD+mouse camera,
+        src/camera.rs:104-165, mapped to keys; next [s] screenshot or render
+        uses the new viewpoint)."""
+        cam = self.renderer.camera
+        step = max(self.ctl.scene.grid_dim_external) * 0.05
+        if key == "h":
+            cam.orbit(-15.0, 0.0)
+        elif key == "l":
+            cam.orbit(15.0, 0.0)
+        elif key == "j":
+            cam.orbit(0.0, -10.0)
+        elif key == "k":
+            cam.orbit(0.0, 10.0)
+        elif key == "z":
+            cam.dolly(0.8)
+        elif key == "x":
+            cam.dolly(1.25)
+        elif key == "w":
+            cam.fly(forward=step)
+        elif key == "e":
+            cam.fly(forward=-step)
+        elif key == "a":
+            cam.fly(right=-step)
+        elif key == "d":
+            cam.fly(right=step)
+        elif key == "0":
+            from ..render.camera import Camera
+
+            self.renderer.camera = Camera.framing(self.ctl.scene.grid_dim_external)
+        p = cam.position if key != "0" else self.renderer.camera.position
+        self._msg = f"camera at ({p[0]:.0f}, {p[1]:.0f}, {p[2]:.0f})"
 
     def _next_scene(self) -> None:
         """Cycle to the next scene JSON (the reference GUI's scene selector,

@@ -236,9 +236,14 @@ def _push_force(win_occ, xi, hx, bx, by, dt):
     return out
 
 
-def _block_coords(i, j, bx, by, zp):
-    shape = (bx, by, zp)
-    gx = (i * bx + jax.lax.broadcasted_iota(jnp.int32, shape, 0))[None]
+def _block_coords(i, j, bx, by, zp, xpad=0):
+    """Global cell coordinates of the compute block. With ``xpad``, the block
+    is x-extended by pad cells each side (fused advect+pack), so the first
+    compute cell sits at global x = i*bx - xpad (clamped halo rows near the
+    domain edge carry WRONG coordinates here — the pack's rowok mask kills
+    them; see _rowok in pallas_rebin)."""
+    shape = (bx + 2 * xpad, by, zp)
+    gx = (i * bx - xpad + jax.lax.broadcasted_iota(jnp.int32, shape, 0))[None]
     gy = (j * by + jax.lax.broadcasted_iota(jnp.int32, shape, 1))[None]
     gz = jax.lax.broadcasted_iota(jnp.int32, shape, 2)[None]
     return (gx, gy, gz)
@@ -280,9 +285,17 @@ def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids):
 
 def _advect_block(
     dt, posq_ref, grids, outp_ref, outd_ref, ms_ref, sems, i, j,
-    *, bx, by, X, Y, grid_dim, with_solids,
+    *, bx, by, X, Y, grid_dim, with_solids, xpad=0, rowok_b=None,
 ):
+    """With ``xpad`` > 0 (fused advect+x-pack), the compute block is
+    x-extended by xpad cells each side: grid windows widen by xpad (their
+    structural margin `hx` around the extended core is unchanged, so every
+    _slab/_point_select margin below stays as-is), and coordinates anchor at
+    i*bx - xpad. ``rowok_b`` masks clamped duplicate halo rows out of the
+    max-speed by-product (their advect outputs are garbage; the pack masks
+    them out of the table separately)."""
     zp = posq_ref.shape[-1]
+    bxc = bx + 2 * xpad  # compute width
     if with_solids:
         (_, wv0, _), (_, wv1, _), (_, wv2, _), (_, wocc, _), (_, ws0, _), (_, ws1, _), (_, ws2, _) = grids
     else:
@@ -290,13 +303,15 @@ def _advect_block(
 
     copies = []
     for n, (g, w, hx) in enumerate(grids):
-        copies += _window_copies(g, w, sems, 9 * n, i, j, bx=bx, by=by, X=X, Y=Y, hx=hx)
+        copies += _window_copies(
+            g, w, sems, 9 * n, i, j, bx=bx, by=by, X=X, Y=Y, hx=hx + xpad
+        )
     for c in copies:
         c.start()
     for c in copies:
         c.wait()
 
-    gi = _block_coords(i, j, bx, by, zp)
+    gi = _block_coords(i, j, bx, by, zp, xpad)
     gf = [g.astype(jnp.float32) for g in gi]
     gmax = [float(grid_dim[a]) - 1.001 for a in range(3)]
     wins_v = (wv0, wv1, wv2)
@@ -310,8 +325,8 @@ def _advect_block(
 
     if with_solids:
         # escape from moving solids (advect_particles.comp:46-66)
-        occ_here = _primal_select(wocc, sel, 2, bx, by)
-        sv_here = [_primal_select(w, sel, 1, bx, by) for w in (ws0, ws1, ws2)]
+        occ_here = _primal_select(wocc, sel, 2, bxc, by)
+        sv_here = [_primal_select(w, sel, 1, bxc, by) for w in (ws0, ws1, ws2)]
         abs_sv = [jnp.abs(v) for v in sv_here]
         use_x = (abs_sv[0] > abs_sv[1]) & (abs_sv[0] > abs_sv[2])
         use_y = jnp.logical_not(use_x) & (abs_sv[1] > abs_sv[2])
@@ -329,7 +344,7 @@ def _advect_block(
 
     # clipping xi preserves the >= 0.5 select, so `sel` is shared
     xi_c = [jnp.clip(x, 0.0, 1.0 - 1e-6) for x in xi]
-    corners, interps = _staggered_corners(wins_v, sel, xi_c, bx, by)
+    corners, interps = _staggered_corners(wins_v, sel, xi_c, bxc, by)
     velocity, affine = _g2p_apic(corners, interps)
     movement = _rk4(corners, interps, velocity, dt)
     movement = [jnp.clip(m, -MAX_ADVECT_MOVE, MAX_ADVECT_MOVE) for m in movement]
@@ -346,7 +361,7 @@ def _advect_block(
             jnp.clip(jnp.floor(new_pos[a]).astype(jnp.int32) - gi[a], -2, 2)
             for a in range(3)
         ]
-        penetrates = oob | (_point_select(wocc, d, 2, 2, bx, by) > 0.0)
+        penetrates = oob | (_point_select(wocc, d, 2, 2, bxc, by) > 0.0)
     else:
         penetrates = oob
 
@@ -360,7 +375,7 @@ def _advect_block(
                 jnp.floor(pos[a]).astype(jnp.int32)
                 == jnp.floor(new_pos[a]).astype(jnp.int32)
             )
-        push = _push_force(wocc, xi, 2, bx, by, dt)
+        push = _push_force(wocc, xi, 2, bxc, by, dt)
         clamped = [
             clamped[a] + jnp.where(stuck & penetrates, push[a], 0.0) for a in range(3)
         ]
@@ -377,13 +392,16 @@ def _advect_block(
     # per-block max |v|^2 by-product (drives CFL substepping without a
     # separate whole-table reduction; scalar in an (8,128)-tile like
     # pallas_pcg's stats output — scatter doesn't lower in Mosaic)
-    vq = [jnp.where(validb, velocity[a], 0.0) for a in range(3)]
+    # clamped duplicate halo rows (fused path) hold garbage — zero them out of
+    # the payload and the max-speed reduction; the pack drops them anyway
+    okb = validb if rowok_b is None else (validb & rowok_b[None])
+    vq = [jnp.where(okb, velocity[a], 0.0) for a in range(3)]
     ms = jnp.max(vq[0] * vq[0] + vq[1] * vq[1] + vq[2] * vq[2])
     ii = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     ms_ref[...] = jnp.where((ii == 0) & (jj == 0), ms, 0.0)
     aq = [
-        jnp.where(validb, affine[c][a], 0.0) for c in range(3) for a in range(3)
+        jnp.where(okb, affine[c][a], 0.0) for c in range(3) for a in range(3)
     ]
     pairs = (
         (vq[0], vq[1]), (vq[2], aq[0]), (aq[1], aq[2]),
@@ -416,20 +434,24 @@ def _correct_kernel(*refs, bx, by, X, Y, grid_dim):
 
 
 def _correct_block(
-    posq_ref, g0, g1, g2, gm, out_ref, sems, i, j, *, bx, by, X, Y, grid_dim
+    posq_ref, g0, g1, g2, gm, out_ref, sems, i, j, *, bx, by, X, Y, grid_dim,
+    xpad=0,
 ):
     zp = posq_ref.shape[-1]
+    bxc = bx + 2 * xpad  # compute width (x-extended in the fused path)
     (c0, wc0), (c1, wc1), (c2, wc2), (mk, wmk) = g0, g1, g2, gm
 
     copies = []
     for n, (g, w) in enumerate(((c0, wc0), (c1, wc1), (c2, wc2), (mk, wmk))):
-        copies += _window_copies(g, w, sems, 9 * n, i, j, bx=bx, by=by, X=X, Y=Y, hx=1)
+        copies += _window_copies(
+            g, w, sems, 9 * n, i, j, bx=bx, by=by, X=X, Y=Y, hx=1 + xpad
+        )
     for c in copies:
         c.start()
     for c in copies:
         c.wait()
 
-    gi = _block_coords(i, j, bx, by, zp)
+    gi = _block_coords(i, j, bx, by, zp, xpad)
     gf = [g.astype(jnp.float32) for g in gi]
     gmax = [float(grid_dim[a]) - 1.001 for a in range(3)]
 
@@ -438,7 +460,7 @@ def _correct_block(
 
     xi = [jnp.clip(pos[a] - 0.5 - gf[a], 0.0, 1.0 - 1e-6) for a in range(3)]
     sel = [x >= 0.5 for x in xi]
-    corners, interps = _staggered_corners((wc0, wc1, wc2), sel, xi, bx, by)
+    corners, interps = _staggered_corners((wc0, wc1, wc2), sel, xi, bxc, by)
     movement = [_tri(corners[c], *interps[c]) for c in range(3)]
     movement = [jnp.clip(m, -MAX_CORRECT_MOVE, MAX_CORRECT_MOVE) for m in movement]
     new_pos = [
@@ -453,7 +475,7 @@ def _correct_block(
         jnp.clip(jnp.floor(new_pos[a]).astype(jnp.int32) - gi[a], -1, 1)
         for a in range(3)
     ]
-    target_marker = _point_select(wmk, d, 1, 1, bx, by)
+    target_marker = _point_select(wmk, d, 1, 1, bxc, by)
     penetrates = oob | (target_marker == float(CELL_SOLID))
 
     direction, max_step = _clamp_step(pos, movement)
@@ -634,3 +656,356 @@ def correct_sm_pallas(
     # dyn untouched: position correction moves particles only (the reference's
     # correct_particles.comp rewrites positions alone)
     return SlotMajorTable(posq=posq, dyn=sm.dyn, lost=sm.lost, grid_dim=sm.grid_dim)
+
+
+# --- fused advect/correct + x-rebin-pack --------------------------------------
+#
+# The two rebins are the step's dominant cost (PERF.md round-3 roadmap #1:
+# ~13 ms of a 24.5 ms dam step; ~98 ms of a ~208 ms highres substep). Each
+# rebin is an x-stage and a fused y+z stage, each a full table HBM roundtrip.
+# Advect and correct are PER-CELL maps of (posq, small grid windows) — so the
+# x-stage pack can run inside them: compute the phase on an x-extended block
+# (bx + 2s cells), then run pallas_rebin's pack core over the advected values
+# still in VMEM. The x rebin stage's table read+write disappears; per-cell
+# results are bit-identical to phase-then-_rebin_stage_x because the pack is
+# a pure per-output-cell function of the (identically computed) candidate
+# window. Cost: the halo cells' phase compute is done twice ((bx+2s)/bx
+# amplification); the x-stage's full-table roundtrip was far larger.
+#
+# Reference analog: none — the reference rebins every 60 frames as a cache
+# nicety (particle_binning*.comp); here binning is correctness-bearing. The
+# fusion is the TPU answer to its absence of per-step binning cost.
+
+from .pallas_rebin import _pack_core, _ref_writers, _rowok, _window_parts
+
+ADVECT_SHIFT = 2  # advect clamps bin movement to +-2 (MAX_ADVECT_MOVE clamp)
+CORRECT_SHIFT = 1  # correct clamps to +-1
+
+
+def _pipelined_table_window(pairs, sems, i, j, *, s, bx, by, X, Y):
+    """Double-buffered clamped x-halo table-window DMA (same scheme as
+    pallas_rebin._pipelined_window): block n+1's window streams in while
+    block n computes. Returns the window buffer slot for the current block."""
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    it = i * nj + j
+    slot = jax.lax.rem(it, 2)
+
+    def parts(ii, jj, sl):
+        cs = []
+        for n, (hbm, win) in enumerate(pairs):
+            cs += _window_parts(
+                hbm, win, sems, 3 * n, 0, ii, jj, sl, s=s, bx=bx, by=by, X=X, Y=Y
+            )
+        return cs
+
+    @pl.when(it == 0)
+    def _warm():
+        for c in parts(i, j, slot):
+            c.start()
+
+    nxt = it + 1
+
+    @pl.when(nxt < ni * nj)
+    def _prefetch():
+        for c in parts(nxt // nj, jax.lax.rem(nxt, nj), 1 - slot):
+            c.start()
+
+    for c in parts(i, j, slot):
+        c.wait()
+    return slot
+
+
+def _advect_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim, with_solids):
+    if with_solids:
+        (dt_ref, posq_hbm, v0, v1, v2, occ, s0, s1, s2,
+         outp_ref, outd_ref, ms_ref,
+         twinp, wv0, wv1, wv2, wocc, ws0, ws1, ws2,
+         aposq, adyn, tsems, gsems) = refs
+        grids = ((v0, wv0, 1), (v1, wv1, 1), (v2, wv2, 1), (occ, wocc, 2),
+                 (s0, ws0, 1), (s1, ws1, 1), (s2, ws2, 1))
+    else:
+        (dt_ref, posq_hbm, v0, v1, v2, outp_ref, outd_ref, ms_ref,
+         twinp, wv0, wv1, wv2, aposq, adyn, tsems, gsems) = refs
+        grids = ((v0, wv0, 1), (v1, wv1, 1), (v2, wv2, 1))
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dt = dt_ref[0]
+    zp = twinp.shape[-1]
+    k = twinp.shape[1]
+
+    slot = _pipelined_table_window(
+        ((posq_hbm, twinp),), tsems, i, j, s=s, bx=bx, by=by, X=X, Y=Y
+    )
+    posq_win = twinp.at[slot]
+
+    # air blocks (no particles anywhere in the extended window; clamped
+    # duplicate rows only ever replicate empty border cells) skip everything
+    has_particles = jnp.any(posq_win[:, CH_VALID] > 0.5)
+
+    @pl.when(jnp.logical_not(has_particles))
+    def _empty():
+        outp_ref[...] = jnp.zeros((k_out, NUM_POSQ, bx, by, zp), jnp.float32)
+        outd_ref[...] = jnp.zeros((k_out, NUM_DYN, bx, by, zp), jnp.float32)
+        ms_ref[...] = jnp.zeros((8, 128), jnp.float32)
+
+    @pl.when(has_particles)
+    def _run():
+        rowok = _rowok(0, i, j, (bx + 2 * s, by, zp), s=s, bx=bx, by=by, X=X, Y=Y)
+        _advect_block(
+            dt, posq_win, grids, aposq, adyn, ms_ref, gsems, i, j,
+            bx=bx, by=by, X=X, Y=Y, grid_dim=grid_dim,
+            with_solids=with_solids, xpad=s, rowok_b=rowok[0],
+        )
+        write_p, write_d, read_out_d = _ref_writers(outp_ref, outd_ref)
+        _pack_core(
+            aposq, adyn, write_p, write_d, read_out_d,
+            axis=0, s=s, k_in=k, k_out=k_out, bx=bx, by=by, Zp=zp, dim_a=X,
+            core=(slice(s, s + bx), slice(None), slice(None)),
+            rowok=rowok, riota=None, gout_base=i * bx,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_dim", "s", "k_out", "bx", "by", "interpret", "with_solids"),
+)
+def _advect_pack_call(
+    posq, dt_arr, v0, v1, v2, occ, s0, s1, s2,
+    *, grid_dim, s, k_out, bx, by, interpret, with_solids,
+):
+    k, chp, x, y, zp = posq.shape
+    bxe = bx + 2 * s
+    kernel = functools.partial(
+        _advect_pack_kernel, s=s, k_out=k_out, bx=bx, by=by, X=x, Y=y,
+        grid_dim=grid_dim, with_solids=with_solids,
+    )
+    outp_spec = pl.BlockSpec(
+        (k_out, NUM_POSQ, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    outd_spec = pl.BlockSpec(
+        (k_out, NUM_DYN, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ms_spec = pl.BlockSpec((8, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), any_spec, any_spec, any_spec, any_spec]
+    inputs = [dt_arr, posq, v0, v1, v2]
+    gscratch = [_grid_window_scratch(bx, by, zp, 1 + s) for _ in range(3)]
+    ngrids = 3
+    if with_solids:
+        in_specs += [any_spec] * 4
+        inputs += [occ, s0, s1, s2]
+        gscratch += [
+            _grid_window_scratch(bx, by, zp, 2 + s),
+            _grid_window_scratch(bx, by, zp, 1 + s),
+            _grid_window_scratch(bx, by, zp, 1 + s),
+            _grid_window_scratch(bx, by, zp, 1 + s),
+        ]
+        ngrids = 7
+    scratch = (
+        [pltpu.VMEM((2, k, NUM_POSQ, bxe, by, zp), jnp.float32)]
+        + gscratch
+        + [
+            pltpu.VMEM((k, NUM_POSQ, bxe, by, zp), jnp.float32),
+            pltpu.VMEM((k, NUM_DYN, bxe, by, zp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((9 * ngrids,)),
+        ]
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(x // bx, y // by),
+        in_specs=in_specs,
+        out_specs=[outp_spec, outd_spec, ms_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((k_out, NUM_POSQ, x, y, zp), jnp.float32),
+            jax.ShapeDtypeStruct((k_out, NUM_DYN, x, y, zp), jnp.float32),
+            jax.ShapeDtypeStruct((8 * (x // bx), 128 * (y // by)), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+
+
+def _correct_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim):
+    (posq_hbm, dyn_hbm, c0, c1, c2, mk,
+     outp_ref, outd_ref,
+     twinp, twind, wc0, wc1, wc2, wmk, aposq, tsems, gsems) = refs
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    zp = twinp.shape[-1]
+    k = twinp.shape[1]
+
+    slot = _pipelined_table_window(
+        ((posq_hbm, twinp), (dyn_hbm, twind)), tsems, i, j,
+        s=s, bx=bx, by=by, X=X, Y=Y,
+    )
+    posq_win = twinp.at[slot]
+    dyn_win = twind.at[slot]
+
+    has_particles = jnp.any(posq_win[:, CH_VALID] > 0.5)
+
+    @pl.when(jnp.logical_not(has_particles))
+    def _empty():
+        outp_ref[...] = jnp.zeros((k_out, NUM_POSQ, bx, by, zp), jnp.float32)
+        outd_ref[...] = jnp.zeros((k_out, NUM_DYN, bx, by, zp), jnp.float32)
+
+    @pl.when(has_particles)
+    def _run():
+        _correct_block(
+            posq_win, (c0, wc0), (c1, wc1), (c2, wc2), (mk, wmk), aposq,
+            gsems, i, j, bx=bx, by=by, X=X, Y=Y, grid_dim=grid_dim, xpad=s,
+        )
+        rowok = _rowok(0, i, j, (bx + 2 * s, by, zp), s=s, bx=bx, by=by, X=X, Y=Y)
+        write_p, write_d, read_out_d = _ref_writers(outp_ref, outd_ref)
+        # dyn is untouched by correct (positions only), so the pack's payload
+        # source for dyn is the PRE-correct window — same cells, same slots
+        _pack_core(
+            aposq, dyn_win, write_p, write_d, read_out_d,
+            axis=0, s=s, k_in=k, k_out=k_out, bx=bx, by=by, Zp=zp, dim_a=X,
+            core=(slice(s, s + bx), slice(None), slice(None)),
+            rowok=rowok, riota=None, gout_base=i * bx,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid_dim", "s", "k_out", "bx", "by", "interpret")
+)
+def _correct_pack_call(
+    posq, dyn, c0, c1, c2, marker_f, *, grid_dim, s, k_out, bx, by, interpret
+):
+    k, chp, x, y, zp = posq.shape
+    bxe = bx + 2 * s
+    kernel = functools.partial(
+        _correct_pack_kernel, s=s, k_out=k_out, bx=bx, by=by, X=x, Y=y,
+        grid_dim=grid_dim,
+    )
+    outp_spec = pl.BlockSpec(
+        (k_out, NUM_POSQ, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    outd_spec = pl.BlockSpec(
+        (k_out, NUM_DYN, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    scratch = [
+        pltpu.VMEM((2, k, NUM_POSQ, bxe, by, zp), jnp.float32),
+        pltpu.VMEM((2, k, NUM_DYN, bxe, by, zp), jnp.float32),
+    ]
+    scratch += [_grid_window_scratch(bx, by, zp, 1 + s) for _ in range(4)]
+    scratch += [
+        pltpu.VMEM((k, NUM_POSQ, bxe, by, zp), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 6)),
+        pltpu.SemaphoreType.DMA((36,)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(x // bx, y // by),
+        in_specs=[any_spec] * 6,
+        out_specs=[outp_spec, outd_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((k_out, NUM_POSQ, x, y, zp), jnp.float32),
+            jax.ShapeDtypeStruct((k_out, NUM_DYN, x, y, zp), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(posq, dyn, c0, c1, c2, marker_f)
+
+
+def _pick_blocks_fused(x, y, zp, k, k_out, s, hx_max, budget_bytes=92 << 20):
+    """(bx, by) for the fused phase+pack kernels. Constraints: the modular
+    grid-window halo parts (width hx_max + s) must not straddle the x
+    boundary (bx >= hx_max + s), and the VMEM live set — double-buffered
+    posq window, phase output scratch, pipelined out blocks, ~48 K-shaped
+    compute temps (see _LIVE_CH), pack flag/rank temps — must fit."""
+    by = 8
+    for bx in (8, 4):
+        if x % bx or bx < hx_max + s or bx < s:
+            continue
+        bxe = bx + 2 * s
+        live = (
+            2 * k * NUM_POSQ * bxe
+            + k * (NUM_POSQ + NUM_DYN) * bxe
+            + 2 * k_out * (NUM_POSQ + NUM_DYN) * bx
+            + 48 * k * bxe
+            + 3 * k_out * bx
+        )
+        if live * by * zp * 4 <= budget_bytes:
+            return bx, by
+    return None
+
+
+def fused_supports(grid_dim, capacity: int, k_out: int, with_solids: bool) -> bool:
+    x, y, z = grid_dim
+    if y % 8:
+        return False
+    zp = max(128, -(-z // 128) * 128)
+    hx = 2 if with_solids else 1
+    if _pick_blocks_fused(x, y, zp, capacity, k_out, ADVECT_SHIFT, hx) is None:
+        return False
+    return _pick_blocks_fused(x, y, zp, capacity, k_out, CORRECT_SHIFT, 1) is not None
+
+
+def advect_pack_sm_pallas(
+    sm: SlotMajorTable, vel_grids, solid_occupancy, solid_velocity, dt,
+    k_out: int, interpret: bool = False,
+):
+    """Fused advect + x-rebin pack (capacity K in, ``k_out`` = K + slack out).
+    Bit-identical to advect_sm_pallas followed by the s=2 x rebin stage;
+    caller finishes the rebin with pallas_rebin.rebin_yz_slot_major.
+    Returns (posq_mid, dyn_mid, max_speed)."""
+    x, y, z = sm.grid_dim
+    zp = sm.zp
+    with_solids = solid_occupancy is not None
+    blocks = _pick_blocks_fused(
+        x, y, zp, sm.capacity, k_out, ADVECT_SHIFT, 2 if with_solids else 1
+    )
+    assert blocks is not None, "caller must gate on fused_supports()"
+    bx, by = blocks
+    dt_arr = jnp.reshape(jnp.asarray(dt, jnp.float32), (1,))
+    vel_p = [_pad_z(v, zp) for v in vel_grids]
+    if not with_solids:
+        zero = jnp.zeros((), jnp.float32)  # placeholder, not passed to the kernel
+        posq, dyn, ms = _advect_pack_call(
+            sm.posq, dt_arr, *vel_p, zero, zero, zero, zero,
+            grid_dim=sm.grid_dim, s=ADVECT_SHIFT, k_out=k_out, bx=bx, by=by,
+            interpret=interpret, with_solids=False,
+        )
+    else:
+        occ_p = _pad_z(solid_occupancy, zp)
+        sv_p = [_pad_z(solid_velocity[..., a], zp) for a in range(3)]
+        posq, dyn, ms = _advect_pack_call(
+            sm.posq, dt_arr, *vel_p, occ_p, *sv_p,
+            grid_dim=sm.grid_dim, s=ADVECT_SHIFT, k_out=k_out, bx=bx, by=by,
+            interpret=interpret, with_solids=True,
+        )
+    return posq, dyn, jnp.sqrt(jnp.max(ms)).astype(jnp.float32)
+
+
+def correct_pack_sm_pallas(
+    sm: SlotMajorTable, change, marker, k_out: int, interpret: bool = False
+):
+    """Fused position-correct + x-rebin pack (s=1). Bit-identical to
+    correct_sm_pallas followed by the s=1 x rebin stage. Returns
+    (posq_mid, dyn_mid)."""
+    x, y, z = sm.grid_dim
+    zp = sm.zp
+    blocks = _pick_blocks_fused(x, y, zp, sm.capacity, k_out, CORRECT_SHIFT, 1)
+    assert blocks is not None, "caller must gate on fused_supports()"
+    bx, by = blocks
+    change_p = [_pad_z(c, zp) for c in change]
+    marker_f = _pad_z(marker.astype(jnp.float32), zp)
+    return _correct_pack_call(
+        sm.posq, sm.dyn, *change_p, marker_f,
+        grid_dim=sm.grid_dim, s=CORRECT_SHIFT, k_out=k_out, bx=bx, by=by,
+        interpret=interpret,
+    )

@@ -637,14 +637,31 @@ def rebin_slot_major(
         posq, dyn, s=max_shift, k_out=k_mid, dim_a=X, bx=bx, by=by,
         interpret=interpret,
     )
-    blocks = _pick_blocks_yz(k_mid, k_mid, k, X, Y, max_shift, posq.shape[4], _BUDGET)
+    return rebin_yz_slot_major(
+        posq, dyn, sm.grid_dim, max_shift, k_out=k, lost=sm.lost,
+        before_count=before_count, interpret=interpret,
+    )
+
+
+def rebin_yz_slot_major(
+    posq, dyn, grid_dim, max_shift: int, *, k_out: int, lost, before_count,
+    interpret: bool = False,
+) -> SlotMajorTable:
+    """The fused y+z half of a rebin, standalone: consumes k_mid-slot stage
+    arrays whose x invariant already holds (either from _rebin_stage_x or
+    from the fused advect/correct+pack kernels in pallas_advect) and packs
+    them down to the table capacity ``k_out``. Finalizes the rebin's lost
+    accounting from the yz kernel's survivor-count by-product."""
+    X, Y, Z = grid_dim
+    k_mid = posq.shape[0]
+    blocks = _pick_blocks_yz(k_mid, k_mid, k_out, X, Y, max_shift, posq.shape[4], _BUDGET)
     assert blocks is not None, "caller must gate on supports()"
     bx, by = blocks
     posq, dyn, cnt = _rebin_stage_yz(
-        posq, dyn, s=max_shift, k_mid=k_mid, k_out=k, dim_y=Y, dim_z=Z,
+        posq, dyn, s=max_shift, k_mid=k_mid, k_out=k_out, dim_y=Y, dim_z=Z,
         bx=bx, by=by, interpret=interpret,
     )
 
     after = jnp.sum(cnt).astype(jnp.int32)
-    lost = sm.lost + (jnp.asarray(before_count, jnp.int32) - after)
-    return SlotMajorTable(posq=posq, dyn=dyn, lost=lost, grid_dim=sm.grid_dim)
+    lost = lost + (jnp.asarray(before_count, jnp.int32) - after)
+    return SlotMajorTable(posq=posq, dyn=dyn, lost=lost, grid_dim=grid_dim)

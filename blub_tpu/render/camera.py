@@ -32,6 +32,47 @@ class Camera:
         )
         return Camera(position=center + offset, target=center)
 
+    @staticmethod
+    def parse(spec: str, grid_dim: Tuple[int, int, int]) -> "Camera":
+        """Parse a `--camera` CLI spec: ``px,py,pz[:tx,ty,tz[:fov_deg]]`` in
+        grid units. Target defaults to the domain center. The headless analog
+        of placing the reference's fly camera (src/camera.rs:104-165)."""
+        parts = spec.split(":")
+        pos = np.array([float(v) for v in parts[0].split(",")], np.float64)
+        if len(pos) != 3:
+            raise ValueError(f"--camera position needs 3 comma-separated values, got {parts[0]!r}")
+        if len(parts) > 1 and parts[1]:
+            target = np.array([float(v) for v in parts[1].split(",")], np.float64)
+        else:
+            target = np.asarray(grid_dim, np.float64) / 2.0
+        fov = float(parts[2]) if len(parts) > 2 else 45.0
+        return Camera(position=pos, target=target, fov_y_deg=fov)
+
+    def orbit(self, d_azimuth_deg: float, d_elevation_deg: float) -> None:
+        """Rotate the position around the target (terminal-friendly analog of
+        the reference's mouse-drag rotation, src/camera.rs:120-141)."""
+        rel = self.position - self.target
+        r = float(np.linalg.norm(rel))
+        az = math.atan2(rel[0], rel[2])
+        el = math.asin(float(np.clip(rel[1] / max(r, 1e-9), -1.0, 1.0)))
+        az += math.radians(d_azimuth_deg)
+        el = float(np.clip(el + math.radians(d_elevation_deg), -1.55, 1.55))
+        self.position = self.target + r * np.array(
+            [math.cos(el) * math.sin(az), math.sin(el), math.cos(el) * math.cos(az)]
+        )
+
+    def dolly(self, factor: float) -> None:
+        """Move toward (<1) / away from (>1) the target."""
+        self.position = self.target + (self.position - self.target) * factor
+
+    def fly(self, forward: float = 0.0, right: float = 0.0, up: float = 0.0) -> None:
+        """Translate position AND target along the view basis (the WASD part
+        of src/camera.rs:104-118)."""
+        rb, ub, fb = self.basis()
+        d = forward * fb + right * rb + up * ub
+        self.position = self.position + d
+        self.target = self.target + d
+
     def basis(self):
         fwd = self.target - self.position
         fwd = fwd / np.linalg.norm(fwd)

@@ -263,7 +263,12 @@ class SceneRenderer:
             for entry in solid_meshes:
                 verts, faces = entry[0], entry[1]
                 albedo = entry[2] if len(entry) > 2 and entry[2] is not None else 1.0
-                rasterize_mesh(rgb, depth, self.camera, verts, faces, albedo=albedo)
+                face_uv = entry[3] if len(entry) > 3 else None
+                texture = entry[4] if len(entry) > 4 else None
+                rasterize_mesh(
+                    rgb, depth, self.camera, verts, faces, albedo=albedo,
+                    face_uv=face_uv, texture=texture,
+                )
         if s.show_voxel_debug and solid_occupancy is not None:
             verts, faces, cells = voxel_surface_mesh(np.asarray(solid_occupancy))
             if len(faces):

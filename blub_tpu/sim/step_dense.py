@@ -201,14 +201,23 @@ def _step_slot_major(
     the particle table stays resident in slot-major layout and every
     table-heavy phase is a kernel (P2G, both rebins) or a slot-major XLA port
     (marker, advect, correct) — zero layout conversions per step."""
-    from ..ops import pallas_gridfix, pallas_pcg, pallas_pcg_blocked
-    from ..ops.pallas_advect import advect_sm_pallas, correct_sm_pallas
+    from ..ops import pallas_advect, pallas_gridfix, pallas_pcg, pallas_pcg_blocked
+    from ..ops.pallas_advect import (
+        advect_pack_sm_pallas,
+        advect_sm_pallas,
+        correct_pack_sm_pallas,
+        correct_sm_pallas,
+    )
     from ..ops.pallas_p2g import (
         normalize_velocity,
         p2g_density_pallas,
         p2g_raw_accumulators,
     )
-    from ..ops.pallas_rebin import rebin_slot_major
+    from ..ops.pallas_rebin import (
+        default_slack,
+        rebin_slot_major,
+        rebin_yz_slot_major,
+    )
     from .density import position_change_field
     from .sm_phases import marker_from_counts
 
@@ -247,16 +256,33 @@ def _step_slot_major(
         vel = extrapolate_velocity(vel, marker)
 
     # --- advection + rebin ----------------------------------------------------
-    table, max_speed = advect_sm_pallas(
-        table, vel, occupancy, solid_vel, dt, interpret=interp,
-        with_max_speed=True,
+    # fused advect+x-pack when supported: the x rebin stage's full-table HBM
+    # roundtrip runs inside the advect kernel instead (pallas_advect module
+    # docstring; bit-identical to advect -> stage_x -> stage_yz)
+    k = table.capacity
+    slack = default_slack((table.posq.size + table.dyn.size) * 4, k)
+    fused = pallas_advect.fused_supports(
+        params.grid_dim, k, k + slack, occupancy is not None
     )
     # current count = initial - lost (only rebins drop particles), so the
     # rebin's lost accounting needs no table-wide reduction
     n0 = jnp.int32(params.num_particles)
-    table = rebin_slot_major(
-        table, max_shift=2, interpret=interp, before_count=n0 - table.lost
-    )
+    if fused:
+        posq_mid, dyn_mid, max_speed = advect_pack_sm_pallas(
+            table, vel, occupancy, solid_vel, dt, k + slack, interpret=interp
+        )
+        table = rebin_yz_slot_major(
+            posq_mid, dyn_mid, params.grid_dim, 2, k_out=k, lost=table.lost,
+            before_count=n0 - table.lost, interpret=interp,
+        )
+    else:
+        table, max_speed = advect_sm_pallas(
+            table, vel, occupancy, solid_vel, dt, interpret=interp,
+            with_max_speed=True,
+        )
+        table = rebin_slot_major(
+            table, max_shift=2, interpret=interp, before_count=n0 - table.lost
+        )
 
     # --- implicit density projection ------------------------------------------
     raw_density, fluid_cnt = p2g_density_pallas(
@@ -273,10 +299,19 @@ def _step_slot_major(
     else:
         change = position_change_field(res_den.pressure, marker2, dt)
         change = extrapolate_velocity(change, marker2)
-    table = correct_sm_pallas(table, change, marker2, interpret=interp)
-    table = rebin_slot_major(
-        table, max_shift=1, interpret=interp, before_count=n0 - table.lost
-    )
+    if fused:
+        posq_mid, dyn_mid = correct_pack_sm_pallas(
+            table, change, marker2, k + slack, interpret=interp
+        )
+        table = rebin_yz_slot_major(
+            posq_mid, dyn_mid, params.grid_dim, 1, k_out=k, lost=table.lost,
+            before_count=n0 - table.lost, interpret=interp,
+        )
+    else:
+        table = correct_sm_pallas(table, change, marker2, interpret=interp)
+        table = rebin_slot_major(
+            table, max_shift=1, interpret=interp, before_count=n0 - table.lost
+        )
 
     return DenseFluidState(
         table=table,

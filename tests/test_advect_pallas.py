@@ -106,3 +106,77 @@ def test_correct_kernel_matches_oracle():
     ref = correct_slot_major(sm, change, marker)
     got = correct_sm_pallas(sm, change, marker, interpret=True)
     _assert_tables_close(ref, got, pos_only=True)
+
+
+def test_advect_pack_fused_is_bit_exact():
+    """Fused advect+x-pack (+ yz stage) must be BIT-identical to
+    advect_sm_pallas -> rebin_slot_major: the pack is a per-output-cell
+    function of identically computed candidates, so fusion may not change a
+    single bit (positions drive the bin invariant)."""
+    from blub_tpu.ops.pallas_advect import advect_pack_sm_pallas
+    from blub_tpu.ops.pallas_rebin import (
+        default_slack,
+        rebin_slot_major,
+        rebin_yz_slot_major,
+    )
+
+    for seed, with_solids in ((0, False), (4, True)):
+        sm = from_table(_table(seed=seed))
+        vel = _grids(seed=seed + 1)
+        occ, sv = _solids() if with_solids else (None, None)
+        dt = 1.0 / 60.0  # bigger dt -> more movers, both directions
+
+        ref, ms_ref = advect_sm_pallas(
+            sm, vel, occ, sv, dt, interpret=True, with_max_speed=True
+        )
+        n0 = jnp.sum(sm.posq[:, 3] > 0.5).astype(jnp.int32)
+        ref = rebin_slot_major(ref, max_shift=2, interpret=True, before_count=n0)
+
+        k = sm.capacity
+        slack = default_slack((sm.posq.size + sm.dyn.size) * 4, k)
+        posq, dyn, ms = advect_pack_sm_pallas(
+            sm, vel, occ, sv, dt, k + slack, interpret=True
+        )
+        got = rebin_yz_slot_major(
+            posq, dyn, sm.grid_dim, 2, k_out=k, lost=sm.lost,
+            before_count=n0, interpret=True,
+        )
+
+        np.testing.assert_array_equal(np.asarray(ref.posq), np.asarray(got.posq))
+        np.testing.assert_array_equal(np.asarray(ref.dyn), np.asarray(got.dyn))
+        assert int(ref.lost) == int(got.lost)
+        np.testing.assert_array_equal(np.asarray(ms_ref), np.asarray(ms))
+
+
+def test_correct_pack_fused_is_bit_exact():
+    """Same bit-exactness contract for the fused correct+x-pack (s=1)."""
+    from blub_tpu.ops.pallas_advect import correct_pack_sm_pallas
+    from blub_tpu.ops.pallas_rebin import (
+        default_slack,
+        rebin_slot_major,
+        rebin_yz_slot_major,
+    )
+
+    sm = from_table(_table(seed=7))
+    rng = np.random.default_rng(8)
+    # position-change field big enough to push particles across bins
+    change = tuple(
+        jnp.asarray(rng.standard_normal(G).astype(np.float32) * 30) for _ in range(3)
+    )
+    marker = marker_from_table(to_table(sm), None)
+
+    ref = correct_sm_pallas(sm, change, marker, interpret=True)
+    n0 = jnp.sum(sm.posq[:, 3] > 0.5).astype(jnp.int32)
+    ref = rebin_slot_major(ref, max_shift=1, interpret=True, before_count=n0)
+
+    k = sm.capacity
+    slack = default_slack((sm.posq.size + sm.dyn.size) * 4, k)
+    posq, dyn = correct_pack_sm_pallas(sm, change, marker, k + slack, interpret=True)
+    got = rebin_yz_slot_major(
+        posq, dyn, sm.grid_dim, 1, k_out=k, lost=sm.lost,
+        before_count=n0, interpret=True,
+    )
+
+    np.testing.assert_array_equal(np.asarray(ref.posq), np.asarray(got.posq))
+    np.testing.assert_array_equal(np.asarray(ref.dyn), np.asarray(got.dyn))
+    assert int(ref.lost) == int(got.lost)

@@ -268,7 +268,7 @@ def test_load_obj_materials_kd():
         "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\nv 0 0 1\n"
         "usemtl red\nf 1 2 3\nusemtl blue\nf 1 3 4\nf 1 4 2\n"
     )
-    verts, tris, albedo = load_obj_materials(d / "m.obj")
+    verts, tris, albedo, _uv, _tex = load_obj_materials(d / "m.obj")
     assert verts.shape == (4, 3) and tris.shape == (3, 3)
     np.testing.assert_allclose(albedo[0], [1, 0, 0])
     np.testing.assert_allclose(albedo[1], [0, 0, 1])
