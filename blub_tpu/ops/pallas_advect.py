@@ -249,7 +249,7 @@ def _block_coords(i, j, bx, by, zp, xpad=0):
     return (gx, gy, gz)
 
 
-def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids):
+def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids, with_xs=False):
     if with_solids:
         (dt_ref, posq_ref, v0, v1, v2, occ, s0, s1, s2,
          outp_ref, outd_ref, ms_ref,
@@ -263,6 +263,9 @@ def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids):
     i = pl.program_id(0)
     j = pl.program_id(1)
     dt = dt_ref[0]
+    # with_xs: dt_ref[1] is the global x cell coordinate of array column 0
+    # (f32-encoded integer; spatial sharding only — parallel/sharded_sm.py)
+    xs = dt_ref[1] if with_xs else None
     zp = posq_ref.shape[-1]
     k = posq_ref.shape[0]
 
@@ -280,12 +283,13 @@ def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids):
         _advect_block(
             dt, posq_ref, grids, outp_ref, outd_ref, ms_ref, sems, i, j,
             bx=bx, by=by, X=X, Y=Y, grid_dim=grid_dim, with_solids=with_solids,
+            xs=xs,
         )
 
 
 def _advect_block(
     dt, posq_ref, grids, outp_ref, outd_ref, ms_ref, sems, i, j,
-    *, bx, by, X, Y, grid_dim, with_solids, xpad=0, rowok_b=None,
+    *, bx, by, X, Y, grid_dim, with_solids, xpad=0, rowok_b=None, xs=None,
 ):
     """With ``xpad`` > 0 (fused advect+x-pack), the compute block is
     x-extended by xpad cells each side: grid windows widen by xpad (their
@@ -313,6 +317,12 @@ def _advect_block(
 
     gi = _block_coords(i, j, bx, by, zp, xpad)
     gf = [g.astype(jnp.float32) for g in gi]
+    if xs is not None:
+        # sharded: array x frame is a halo-extended local window; positions
+        # stay GLOBAL, so cell coordinates get the window's global origin.
+        # grid_dim is the GLOBAL domain (the caller passes domain_dim); the
+        # clamp bounds below therefore stay correct at every shard seam.
+        gf[0] = gf[0] + xs
     gmax = [float(grid_dim[a]) - 1.001 for a in range(3)]
     wins_v = (wv0, wv1, wv2)
 
@@ -357,8 +367,14 @@ def _advect_block(
     for a in range(3):
         oob = oob | (new_pos[a] < 1.001) | (new_pos[a] > gmax[a])
     if with_solids:
+        # window-relative cell offsets: positions are global, gi is the array
+        # frame — under sharding (xs) translate x back into the array frame
+        # first (exact f32: subtracting an integer reduces the magnitude)
+        np_arr = list(new_pos)
+        if xs is not None:
+            np_arr[0] = new_pos[0] - xs
         d = [
-            jnp.clip(jnp.floor(new_pos[a]).astype(jnp.int32) - gi[a], -2, 2)
+            jnp.clip(jnp.floor(np_arr[a]).astype(jnp.int32) - gi[a], -2, 2)
             for a in range(3)
         ]
         penetrates = oob | (_point_select(wocc, d, 2, 2, bxc, by) > 0.0)
@@ -411,7 +427,11 @@ def _advect_block(
         outd_ref[:, c] = pack_pair(hi, lo)
 
 
-def _correct_kernel(*refs, bx, by, X, Y, grid_dim):
+def _correct_kernel(*refs, bx, by, X, Y, grid_dim, with_xs=False):
+    xs = None
+    if with_xs:
+        sc_ref, *refs = refs
+        xs = sc_ref[0]
     posq_ref, c0, c1, c2, mk, out_ref, wc0, wc1, wc2, wmk, sems = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -429,13 +449,13 @@ def _correct_kernel(*refs, bx, by, X, Y, grid_dim):
     def _run():
         _correct_block(
             posq_ref, (c0, wc0), (c1, wc1), (c2, wc2), (mk, wmk), out_ref,
-            sems, i, j, bx=bx, by=by, X=X, Y=Y, grid_dim=grid_dim,
+            sems, i, j, bx=bx, by=by, X=X, Y=Y, grid_dim=grid_dim, xs=xs,
         )
 
 
 def _correct_block(
     posq_ref, g0, g1, g2, gm, out_ref, sems, i, j, *, bx, by, X, Y, grid_dim,
-    xpad=0,
+    xpad=0, xs=None,
 ):
     zp = posq_ref.shape[-1]
     bxc = bx + 2 * xpad  # compute width (x-extended in the fused path)
@@ -453,6 +473,9 @@ def _correct_block(
 
     gi = _block_coords(i, j, bx, by, zp, xpad)
     gf = [g.astype(jnp.float32) for g in gi]
+    if xs is not None:
+        # sharded frame translation — see _advect_block
+        gf[0] = gf[0] + xs
     gmax = [float(grid_dim[a]) - 1.001 for a in range(3)]
 
     pos = [posq_ref[:, a] for a in range(3)]
@@ -471,8 +494,11 @@ def _correct_block(
     oob = jnp.zeros(pos[0].shape, jnp.bool_)
     for a in range(3):
         oob = oob | (new_pos[a] < 1.001) | (new_pos[a] > gmax[a])
+    np_arr = list(new_pos)
+    if xs is not None:
+        np_arr[0] = new_pos[0] - xs  # exact; see _advect_block
     d = [
-        jnp.clip(jnp.floor(new_pos[a]).astype(jnp.int32) - gi[a], -1, 1)
+        jnp.clip(jnp.floor(np_arr[a]).astype(jnp.int32) - gi[a], -1, 1)
         for a in range(3)
     ]
     target_marker = _point_select(wmk, d, 1, 1, bxc, by)
@@ -502,7 +528,7 @@ def _advect_call(
     k, chp, x, y, zp = posq.shape
     kernel = functools.partial(
         _advect_kernel, bx=bx, by=by, X=x, Y=y, grid_dim=grid_dim,
-        with_solids=with_solids,
+        with_solids=with_solids, with_xs=dt_arr.shape[0] >= 2,
     )
     posq_spec = pl.BlockSpec(
         (k, NUM_POSQ, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
@@ -550,10 +576,13 @@ def _advect_call(
 
 
 @functools.partial(jax.jit, static_argnames=("grid_dim", "bx", "by", "interpret"))
-def _correct_call(posq, c0, c1, c2, marker_f, *, grid_dim, bx, by, interpret):
+def _correct_call(posq, c0, c1, c2, marker_f, *, grid_dim, bx, by, interpret,
+                  sc_arr=None):
     k, chp, x, y, zp = posq.shape
+    with_xs = sc_arr is not None
     kernel = functools.partial(
-        _correct_kernel, bx=bx, by=by, X=x, Y=y, grid_dim=grid_dim
+        _correct_kernel, bx=bx, by=by, X=x, Y=y, grid_dim=grid_dim,
+        with_xs=with_xs,
     )
     posq_spec = pl.BlockSpec(
         (k, NUM_POSQ, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
@@ -562,10 +591,15 @@ def _correct_call(posq, c0, c1, c2, marker_f, *, grid_dim, bx, by, interpret):
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     scratch = [_grid_window_scratch(bx, by, zp, 1) for _ in range(4)]
     scratch.append(pltpu.SemaphoreType.DMA((36,)))
+    in_specs = [posq_spec] + [any_spec] * 4
+    inputs = [posq, c0, c1, c2, marker_f]
+    if with_xs:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = [sc_arr] + inputs
     return pl.pallas_call(
         kernel,
         grid=(x // bx, y // by),
-        in_specs=[posq_spec] + [any_spec] * 4,
+        in_specs=in_specs,
         out_specs=posq_spec,
         out_shape=jax.ShapeDtypeStruct(posq.shape, jnp.float32),
         scratch_shapes=scratch,
@@ -573,7 +607,7 @@ def _correct_call(posq, c0, c1, c2, marker_f, *, grid_dim, bx, by, interpret):
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(posq, c0, c1, c2, marker_f)
+    )(*inputs)
 
 
 def _pad_z(g: jax.Array, zp: int) -> jax.Array:
@@ -608,21 +642,31 @@ def supports(grid_dim, capacity: int) -> bool:
 def advect_sm_pallas(
     sm: SlotMajorTable, vel_grids, solid_occupancy, solid_velocity, dt,
     interpret: bool = False, with_max_speed: bool = False,
+    x_start=None, domain_dim=None,
 ):
     """Drop-in replacement for sm_phases.advect_slot_major. `dt` may be a
     traced scalar (it rides in SMEM). Caller must rebin(max_shift=2).
     With ``with_max_speed``, also returns max |v| (f32 scalar) as a kernel
-    by-product — the CFL driver, saving a whole-table reduction per substep."""
+    by-product — the CFL driver, saving a whole-table reduction per substep.
+
+    Sharded calls (parallel/sharded_sm.py) pass ``x_start`` (traced: global x
+    cell of array column 0) and ``domain_dim`` (the GLOBAL grid dims, for the
+    wall-clamp bounds) while ``sm`` holds the halo-extended local window."""
     x, y, z = sm.grid_dim
     zp = sm.zp
     bx, by = _pick_blocks(x, y, zp, sm.capacity)
     dt_arr = jnp.reshape(jnp.asarray(dt, jnp.float32), (1,))
+    if x_start is not None:
+        dt_arr = jnp.concatenate(
+            [dt_arr, jnp.reshape(jnp.asarray(x_start, jnp.float32), (1,))]
+        )
     vel_p = [_pad_z(v, zp) for v in vel_grids]
+    gdim = domain_dim if domain_dim is not None else sm.grid_dim
     if solid_occupancy is None:
         zero = jnp.zeros((), jnp.float32)  # placeholder, not passed to the kernel
         posq, dyn, ms = _advect_call(
             sm.posq, dt_arr, *vel_p, zero, zero, zero, zero,
-            grid_dim=sm.grid_dim, bx=bx, by=by, interpret=interpret,
+            grid_dim=gdim, bx=bx, by=by, interpret=interpret,
             with_solids=False,
         )
     else:
@@ -630,7 +674,7 @@ def advect_sm_pallas(
         sv_p = [_pad_z(solid_velocity[..., a], zp) for a in range(3)]
         posq, dyn, ms = _advect_call(
             sm.posq, dt_arr, *vel_p, occ_p, *sv_p,
-            grid_dim=sm.grid_dim, bx=bx, by=by, interpret=interpret,
+            grid_dim=gdim, bx=bx, by=by, interpret=interpret,
             with_solids=True,
         )
     out = SlotMajorTable(posq=posq, dyn=dyn, lost=sm.lost, grid_dim=sm.grid_dim)
@@ -640,18 +684,24 @@ def advect_sm_pallas(
 
 
 def correct_sm_pallas(
-    sm: SlotMajorTable, change, marker, interpret: bool = False
+    sm: SlotMajorTable, change, marker, interpret: bool = False,
+    x_start=None, domain_dim=None,
 ) -> SlotMajorTable:
     """Drop-in replacement for sm_phases.correct_slot_major.
-    Caller must rebin(max_shift=1)."""
+    Caller must rebin(max_shift=1). ``x_start``/``domain_dim``: see
+    advect_sm_pallas (sharded calls only)."""
     x, y, z = sm.grid_dim
     zp = sm.zp
     bx, by = _pick_blocks(x, y, zp, sm.capacity)
     change_p = [_pad_z(c, zp) for c in change]
     marker_f = _pad_z(marker.astype(jnp.float32), zp)
+    sc_arr = None
+    if x_start is not None:
+        sc_arr = jnp.reshape(jnp.asarray(x_start, jnp.float32), (1,))
     posq = _correct_call(
         sm.posq, *change_p, marker_f,
-        grid_dim=sm.grid_dim, bx=bx, by=by, interpret=interpret,
+        grid_dim=(domain_dim if domain_dim is not None else sm.grid_dim),
+        bx=bx, by=by, interpret=interpret, sc_arr=sc_arr,
     )
     # dyn untouched: position correction moves particles only (the reference's
     # correct_particles.comp rewrites positions alone)
@@ -716,7 +766,8 @@ def _pipelined_table_window(pairs, sems, i, j, *, s, bx, by, X, Y):
     return slot
 
 
-def _advect_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim, with_solids):
+def _advect_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim, with_solids,
+                        with_xs=False):
     if with_solids:
         (dt_ref, posq_hbm, v0, v1, v2, occ, s0, s1, s2,
          outp_ref, outd_ref, ms_ref,
@@ -731,6 +782,7 @@ def _advect_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim, with_solids):
     i = pl.program_id(0)
     j = pl.program_id(1)
     dt = dt_ref[0]
+    xs = dt_ref[1] if with_xs else None  # sharded frame origin, see _advect_block
     zp = twinp.shape[-1]
     k = twinp.shape[1]
 
@@ -755,14 +807,15 @@ def _advect_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim, with_solids):
         _advect_block(
             dt, posq_win, grids, aposq, adyn, ms_ref, gsems, i, j,
             bx=bx, by=by, X=X, Y=Y, grid_dim=grid_dim,
-            with_solids=with_solids, xpad=s, rowok_b=rowok[0],
+            with_solids=with_solids, xpad=s, rowok_b=rowok[0], xs=xs,
         )
         write_p, write_d, read_out_d = _ref_writers(outp_ref, outd_ref)
         _pack_core(
             aposq, adyn, write_p, write_d, read_out_d,
-            axis=0, s=s, k_in=k, k_out=k_out, bx=bx, by=by, Zp=zp, dim_a=X,
+            axis=0, s=s, k_in=k, k_out=k_out, bx=bx, by=by, Zp=zp,
+            dim_a=grid_dim[0],
             core=(slice(s, s + bx), slice(None), slice(None)),
-            rowok=rowok, riota=None, gout_base=i * bx,
+            rowok=rowok, riota=None, gout_base=i * bx, x_off=xs,
         )
 
 
@@ -779,6 +832,7 @@ def _advect_pack_call(
     kernel = functools.partial(
         _advect_pack_kernel, s=s, k_out=k_out, bx=bx, by=by, X=x, Y=y,
         grid_dim=grid_dim, with_solids=with_solids,
+        with_xs=dt_arr.shape[0] >= 2,
     )
     outp_spec = pl.BlockSpec(
         (k_out, NUM_POSQ, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
@@ -832,7 +886,11 @@ def _advect_pack_call(
     )(*inputs)
 
 
-def _correct_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim):
+def _correct_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim, with_xs=False):
+    xs = None
+    if with_xs:
+        sc_ref, *refs = refs
+        xs = sc_ref[0]
     (posq_hbm, dyn_hbm, c0, c1, c2, mk,
      outp_ref, outd_ref,
      twinp, twind, wc0, wc1, wc2, wmk, aposq, tsems, gsems) = refs
@@ -860,6 +918,7 @@ def _correct_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim):
         _correct_block(
             posq_win, (c0, wc0), (c1, wc1), (c2, wc2), (mk, wmk), aposq,
             gsems, i, j, bx=bx, by=by, X=X, Y=Y, grid_dim=grid_dim, xpad=s,
+            xs=xs,
         )
         rowok = _rowok(0, i, j, (bx + 2 * s, by, zp), s=s, bx=bx, by=by, X=X, Y=Y)
         write_p, write_d, read_out_d = _ref_writers(outp_ref, outd_ref)
@@ -867,9 +926,10 @@ def _correct_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim):
         # source for dyn is the PRE-correct window — same cells, same slots
         _pack_core(
             aposq, dyn_win, write_p, write_d, read_out_d,
-            axis=0, s=s, k_in=k, k_out=k_out, bx=bx, by=by, Zp=zp, dim_a=X,
+            axis=0, s=s, k_in=k, k_out=k_out, bx=bx, by=by, Zp=zp,
+            dim_a=grid_dim[0],
             core=(slice(s, s + bx), slice(None), slice(None)),
-            rowok=rowok, riota=None, gout_base=i * bx,
+            rowok=rowok, riota=None, gout_base=i * bx, x_off=xs,
         )
 
 
@@ -877,13 +937,15 @@ def _correct_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim):
     jax.jit, static_argnames=("grid_dim", "s", "k_out", "bx", "by", "interpret")
 )
 def _correct_pack_call(
-    posq, dyn, c0, c1, c2, marker_f, *, grid_dim, s, k_out, bx, by, interpret
+    posq, dyn, c0, c1, c2, marker_f, *, grid_dim, s, k_out, bx, by, interpret,
+    sc_arr=None,
 ):
     k, chp, x, y, zp = posq.shape
     bxe = bx + 2 * s
+    with_xs = sc_arr is not None
     kernel = functools.partial(
         _correct_pack_kernel, s=s, k_out=k_out, bx=bx, by=by, X=x, Y=y,
-        grid_dim=grid_dim,
+        grid_dim=grid_dim, with_xs=with_xs,
     )
     outp_spec = pl.BlockSpec(
         (k_out, NUM_POSQ, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
@@ -904,10 +966,15 @@ def _correct_pack_call(
         pltpu.SemaphoreType.DMA((2, 6)),
         pltpu.SemaphoreType.DMA((36,)),
     ]
+    in_specs = [any_spec] * 6
+    inputs = [posq, dyn, c0, c1, c2, marker_f]
+    if with_xs:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = [sc_arr] + inputs
     return pl.pallas_call(
         kernel,
         grid=(x // bx, y // by),
-        in_specs=[any_spec] * 6,
+        in_specs=in_specs,
         out_specs=[outp_spec, outd_spec],
         out_shape=[
             jax.ShapeDtypeStruct((k_out, NUM_POSQ, x, y, zp), jnp.float32),
@@ -918,7 +985,7 @@ def _correct_pack_call(
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(posq, dyn, c0, c1, c2, marker_f)
+    )(*inputs)
 
 
 def _pick_blocks_fused(x, y, zp, k, k_out, s, hx_max, budget_bytes=92 << 20):
@@ -957,12 +1024,14 @@ def fused_supports(grid_dim, capacity: int, k_out: int, with_solids: bool) -> bo
 
 def advect_pack_sm_pallas(
     sm: SlotMajorTable, vel_grids, solid_occupancy, solid_velocity, dt,
-    k_out: int, interpret: bool = False,
+    k_out: int, interpret: bool = False, x_start=None, domain_dim=None,
 ):
     """Fused advect + x-rebin pack (capacity K in, ``k_out`` = K + slack out).
     Bit-identical to advect_sm_pallas followed by the s=2 x rebin stage;
     caller finishes the rebin with pallas_rebin.rebin_yz_slot_major.
-    Returns (posq_mid, dyn_mid, max_speed)."""
+    Returns (posq_mid, dyn_mid, max_speed). ``x_start``/``domain_dim``: see
+    advect_sm_pallas (sharded calls only; the table must then carry an
+    exchanged +-s x halo and outputs need the [s:s+local] core slice)."""
     x, y, z = sm.grid_dim
     zp = sm.zp
     with_solids = solid_occupancy is not None
@@ -972,12 +1041,17 @@ def advect_pack_sm_pallas(
     assert blocks is not None, "caller must gate on fused_supports()"
     bx, by = blocks
     dt_arr = jnp.reshape(jnp.asarray(dt, jnp.float32), (1,))
+    if x_start is not None:
+        dt_arr = jnp.concatenate(
+            [dt_arr, jnp.reshape(jnp.asarray(x_start, jnp.float32), (1,))]
+        )
+    gdim = domain_dim if domain_dim is not None else sm.grid_dim
     vel_p = [_pad_z(v, zp) for v in vel_grids]
     if not with_solids:
         zero = jnp.zeros((), jnp.float32)  # placeholder, not passed to the kernel
         posq, dyn, ms = _advect_pack_call(
             sm.posq, dt_arr, *vel_p, zero, zero, zero, zero,
-            grid_dim=sm.grid_dim, s=ADVECT_SHIFT, k_out=k_out, bx=bx, by=by,
+            grid_dim=gdim, s=ADVECT_SHIFT, k_out=k_out, bx=bx, by=by,
             interpret=interpret, with_solids=False,
         )
     else:
@@ -985,18 +1059,20 @@ def advect_pack_sm_pallas(
         sv_p = [_pad_z(solid_velocity[..., a], zp) for a in range(3)]
         posq, dyn, ms = _advect_pack_call(
             sm.posq, dt_arr, *vel_p, occ_p, *sv_p,
-            grid_dim=sm.grid_dim, s=ADVECT_SHIFT, k_out=k_out, bx=bx, by=by,
+            grid_dim=gdim, s=ADVECT_SHIFT, k_out=k_out, bx=bx, by=by,
             interpret=interpret, with_solids=True,
         )
     return posq, dyn, jnp.sqrt(jnp.max(ms)).astype(jnp.float32)
 
 
 def correct_pack_sm_pallas(
-    sm: SlotMajorTable, change, marker, k_out: int, interpret: bool = False
+    sm: SlotMajorTable, change, marker, k_out: int, interpret: bool = False,
+    x_start=None, domain_dim=None,
 ):
     """Fused position-correct + x-rebin pack (s=1). Bit-identical to
     correct_sm_pallas followed by the s=1 x rebin stage. Returns
-    (posq_mid, dyn_mid)."""
+    (posq_mid, dyn_mid). ``x_start``/``domain_dim``: see
+    advect_pack_sm_pallas (sharded calls only)."""
     x, y, z = sm.grid_dim
     zp = sm.zp
     blocks = _pick_blocks_fused(x, y, zp, sm.capacity, k_out, CORRECT_SHIFT, 1)
@@ -1004,8 +1080,12 @@ def correct_pack_sm_pallas(
     bx, by = blocks
     change_p = [_pad_z(c, zp) for c in change]
     marker_f = _pad_z(marker.astype(jnp.float32), zp)
+    sc_arr = None
+    if x_start is not None:
+        sc_arr = jnp.reshape(jnp.asarray(x_start, jnp.float32), (1,))
     return _correct_pack_call(
         sm.posq, sm.dyn, *change_p, marker_f,
-        grid_dim=sm.grid_dim, s=CORRECT_SHIFT, k_out=k_out, bx=bx, by=by,
-        interpret=interpret,
+        grid_dim=(domain_dim if domain_dim is not None else sm.grid_dim),
+        s=CORRECT_SHIFT, k_out=k_out, bx=bx, by=by,
+        interpret=interpret, sc_arr=sc_arr,
     )

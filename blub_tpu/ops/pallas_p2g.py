@@ -75,7 +75,11 @@ def _window_parts(i, j, bx, by, X, Y):
 def _kernel(
     *refs, bx: int, by: int, X: int, Y: int, z: int,
     density_only: bool = False, velocity_only: bool = False,
+    with_xs: bool = False,
 ):
+    xs_ref = None
+    if with_xs:
+        xs_ref, *refs = refs
     if density_only:
         posq_hbm, out_ref, winp, sems = refs
         srcs = ((posq_hbm, winp),)
@@ -126,8 +130,13 @@ def _kernel(
     else:
         winp, wind = winp.at[slot], wind.at[slot]
 
-    # global coordinates of the output core
-    gx = (i * bx + jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 0)).astype(jnp.float32)
+    # global coordinates of the output core; with_xs, xs_ref[0] is the global
+    # cell coordinate of array column 0 (spatial sharding: each shard's arrays
+    # are a halo-extended local window — parallel/sharded_sm.py)
+    gxi = i * bx + jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 0)
+    if with_xs:
+        gxi = gxi + xs_ref[0]
+    gx = gxi.astype(jnp.float32)
     gy = (j * by + jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 1)).astype(jnp.float32)
     gz = jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 2).astype(jnp.float32)
 
@@ -245,9 +254,15 @@ def p2g_accumulate(
     posq: jax.Array, dyn: jax.Array | None, bx: int = 8, by: int = 8,
     interpret: bool = False,
     density_only: bool = False, velocity_only: bool = False,
+    x_start=None,
 ) -> jax.Array:
     """Slot-major table -> f32[8|7|2, X, Y, Zp] raw accumulators (the last
-    channel is always the primal-cell fluid count)."""
+    channel is always the primal-cell fluid count).
+
+    ``x_start``: global cell coordinate of array column 0 (traced i32 OK;
+    None keeps the unsharded program byte-identical). Set only on the sharded
+    path, where each shard passes a halo-extended local window of the table
+    (parallel/sharded_sm.py)."""
     k, chp, x, y, zp = posq.shape
     assert chp == NUM_POSQ, chp
     assert x % bx == 0 and y % by == 0 and by % 8 == 0, (x, y, bx, by)
@@ -255,14 +270,21 @@ def p2g_accumulate(
 
     n_out = 2 if density_only else (7 if velocity_only else 8)
     grid = (x // bx, y // by)
+    with_xs = x_start is not None
     kernel = functools.partial(
         _kernel, bx=bx, by=by, X=x, Y=y, z=zp,
         density_only=density_only, velocity_only=velocity_only,
+        with_xs=with_xs,
     )
     win_shape = (2, k, NUM_POSQ, bx + 2, by + 2 * _YH, zp)
     scratch = [pltpu.VMEM(win_shape, jnp.float32)]
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
-    inputs = [posq]
+    in_specs = []
+    inputs = []
+    if with_xs:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.reshape(jnp.asarray(x_start, jnp.int32), (1,)))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    inputs.append(posq)
     nsem = 9
     if not density_only:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))

@@ -92,6 +92,7 @@ def _pack_core(
     rowok,
     riota,
     gout_base,
+    x_off=None,
 ):
     """One axis-split pack from VMEM window refs into per-slot writers.
 
@@ -100,7 +101,10 @@ def _pack_core(
     read_out_d(q) reads back the dyn output (for the integer-OR accumulate).
     `core` slices a window array down to the output block; `rowok` masks
     clamped duplicate halo rows; `gout_base` is the block's global coordinate
-    along the pack axis."""
+    along the pack axis. ``x_off`` (axis 0 only, traced f32): global cell
+    coordinate of array column 0 — set when the arrays are a shard's
+    halo-extended local window (parallel/sharded_sm.py) so the array-frame
+    coordinates below compare correctly against the GLOBAL positions."""
     wvalid = winp[:, CH_VALID] > 0.5
     wtarget = _target(winp[:, axis], dim_a)
     actual_f = None
@@ -113,6 +117,9 @@ def _pack_core(
         actual_f = (
             gout_base + jax.lax.broadcasted_iota(jnp.int32, winp.shape[2:], axis)
         ).astype(jnp.float32)
+    if x_off is not None:
+        assert axis == 0
+        actual_f = actual_f + x_off
 
     ok = wvalid if rowok_b is None else (wvalid & rowok_b[None])
     movers = jnp.any(ok & (wtarget != actual_f[None]))
@@ -138,6 +145,8 @@ def _pack_core(
         gout = (
             gout_base + jax.lax.broadcasted_iota(jnp.int32, (bx, by, Zp), axis)
         ).astype(jnp.float32)
+        if x_off is not None:
+            gout = gout + x_off
 
         def slab_flags(off):
             if axis == 0:
@@ -388,9 +397,13 @@ def _rowok(axis, i, j, wshape, *, s, bx, by, X, Y):
 
 
 def _stage_x_kernel(
-    posq_hbm, dyn_hbm, outp_ref, outd_ref, winp, wind, sems,
-    *, s, k_in, k_out, bx, by, X, Y, Zp, dim_a,
+    *refs, s, k_in, k_out, bx, by, X, Y, Zp, dim_a, with_xs=False,
 ):
+    xs = None
+    if with_xs:
+        xs_ref, *refs = refs
+        xs = xs_ref[0]
+    posq_hbm, dyn_hbm, outp_ref, outd_ref, winp, wind, sems = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     winp_v, wind_v = _pipelined_window(
@@ -405,6 +418,7 @@ def _stage_x_kernel(
         rowok=_rowok(0, i, j, winp_v.shape[2:], s=s, bx=bx, by=by, X=X, Y=Y),
         riota=None,
         gout_base=i * bx,
+        x_off=xs,
     )
 
 
@@ -456,22 +470,29 @@ def _stage_yz_kernel(
     jax.jit, static_argnames=("s", "k_out", "dim_a", "bx", "by", "interpret")
 )
 def _rebin_stage_x(
-    posq, dyn, *, s, k_out, dim_a, bx, by, interpret=False,
+    posq, dyn, *, s, k_out, dim_a, bx, by, interpret=False, x_start=None,
 ):
     k_in, chp, X, Y, Zp = posq.shape
     assert chp == NUM_POSQ
     assert X % bx == 0 and Y % by == 0 and by % 8 == 0 and bx >= s and s <= _YH
+    with_xs = x_start is not None
     kern = functools.partial(
         _stage_x_kernel,
         s=s, k_in=k_in, k_out=k_out, bx=bx, by=by, X=X, Y=Y, Zp=Zp, dim_a=dim_a,
+        with_xs=with_xs,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    inputs = [posq, dyn]
+    if with_xs:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = [jnp.reshape(jnp.asarray(x_start, jnp.float32), (1,))] + inputs
     return pl.pallas_call(
         kern,
         grid=(X // bx, Y // by),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (k_out, NUM_POSQ, bx, by, Zp), lambda i, j: (0, 0, i, j, 0),
@@ -495,7 +516,7 @@ def _rebin_stage_x(
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(posq, dyn)
+    )(*inputs)
 
 
 @functools.partial(

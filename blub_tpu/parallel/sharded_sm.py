@@ -1,0 +1,657 @@
+"""Sharding the slot-major Pallas kernel path (the PRODUCTION path) over a
+1D device mesh — VERDICT r2 #3.
+
+The round-2 sharding story covered only the XLA ParticleTable layout; the
+resident slot-major table ``posq f32[K,4,X,Y,Zp]`` puts the decomposition
+axis at dim 2, and its kernels address the whole X extent through manual
+window DMAs, which GSPMD cannot partition. This module shard_maps each
+table-heavy kernel phase over the mesh axis instead:
+
+  * every shard holds a LOCAL x-window of the table/grids; PARTICLE POSITIONS
+    STAY GLOBAL (no frame translation — integer translation of f32 positions
+    rounds, which would break the bin invariant for particles near cell
+    boundaries). The kernels take a traced ``x_start`` scalar (SMEM) that
+    anchors their block coordinates in the global frame.
+  * before a kernel runs, the wrapper extends the local arrays by an x halo:
+    TABLE halos are exchanged with non-wrapping `lax.ppermute` (domain-edge
+    shards get zero slots — exactly the "no particles beyond the edge"
+    semantics the unsharded kernels' clamp+rowok masking produces), GRID
+    halos are exchanged with WRAPPING ppermute (the kernels' grid-window DMAs
+    use modular part placement, `ops/pallas_advect._window_copies`; wrapped
+    rows are never read for valid in-domain particles, so wrap-exchange
+    reproduces the unsharded windows bit-for-bit).
+  * the extended frame is zero-padded on the right to a block multiple; the
+    kernel output's core slice [h : h + X_local] is the shard's result.
+
+Everything between kernels (marker, divergence, PCG, extrapolation, the
+density RHS) is plain XLA on [X, Y, Z] grids and stays at the GSPMD level,
+where round 2 already proved collective-permute halos + all-reduce dots
+(tests/test_sharding.py).
+
+Per-kernel wrappers are bit-exact against their unsharded kernels (positions
+global, identical per-cell candidate windows, identical accumulation order —
+tests/test_sharded_sm.py); step-level equivalence is tolerance-bounded only
+because GSPMD reduces PCG dot products in a different order.
+
+Reference analog: none — the reference is single-GPU (SURVEY.md §2.8); this
+is the scale-out axis the rebuild adds (SURVEY.md §7.2 item 8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8 moved shard_map to the top level
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                          check_vma=False)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=False)
+
+from ..core.types import SimParams, SolidState
+from ..ops import pallas_advect, pallas_p2g, pallas_rebin
+from ..ops.pallas_advect import (
+    ADVECT_SHIFT,
+    CORRECT_SHIFT,
+    advect_pack_sm_pallas,
+    advect_sm_pallas,
+    correct_pack_sm_pallas,
+    correct_sm_pallas,
+)
+from ..ops.pallas_rebin import _rebin_stage_x, _rebin_stage_yz, default_slack
+from ..sim.slot_major import CH_VALID, NUM_DYN, NUM_POSQ, SlotMajorTable
+
+# shard_map PartitionSpecs for the two array families
+_P5 = lambda ax: P(None, None, ax)  # noqa: E731  [K, C, X, Y, Zp]
+_P3 = lambda ax: P(ax)              # noqa: E731  [X, Y, Z(p)]
+_PR = P()                           # replicated scalars
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardCtx:
+    """Static description of the spatial decomposition (hashable: rides into
+    jit as a static argument)."""
+
+    mesh: Mesh
+    axis: str = "x"
+
+    @property
+    def n(self) -> int:
+        return int(self.mesh.shape[self.axis])
+
+    def __hash__(self):
+        return hash((id(self.mesh), self.axis))
+
+    def __eq__(self, other):
+        return isinstance(other, ShardCtx) and self.mesh is other.mesh and (
+            self.axis == other.axis
+        )
+
+
+def _exchange_halo_x(arr, h: int, dim: int, n: int, axis: str, wrap: bool):
+    """(left, right) h-wide x halos from the mesh neighbors. ``wrap`` selects
+    cyclic exchange (grid windows: modular DMA semantics) vs zero fill at the
+    domain edges (table: no particles beyond the edge)."""
+    if h == 0:
+        return None, None
+    xl = arr.shape[dim]
+    last = lax.slice_in_dim(arr, xl - h, xl, axis=dim)
+    first = lax.slice_in_dim(arr, 0, h, axis=dim)
+    if n == 1:
+        if wrap:
+            return last, first
+        return jnp.zeros_like(first), jnp.zeros_like(last)
+    if wrap:
+        left = lax.ppermute(last, axis, [(i, (i + 1) % n) for i in range(n)])
+        right = lax.ppermute(first, axis, [((i + 1) % n, i) for i in range(n)])
+    else:
+        left = lax.ppermute(last, axis, [(i, i + 1) for i in range(n - 1)])
+        right = lax.ppermute(first, axis, [(i + 1, i) for i in range(n - 1)])
+    return left, right
+
+
+def _extend_x(arr, h: int, pad_r: int, dim: int, n: int, axis: str,
+              wrap: bool, exchange: bool = True):
+    """Halo-extend ``arr`` along x: [left h | local | right h | zeros pad_r]."""
+    parts = []
+    if h:
+        if exchange:
+            left, right = _exchange_halo_x(arr, h, dim, n, axis, wrap)
+        else:
+            shape = list(arr.shape)
+            shape[dim] = h
+            left = jnp.zeros(shape, arr.dtype)
+            right = left
+        parts = [left, arr, right]
+    else:
+        parts = [arr]
+    if pad_r:
+        shape = list(arr.shape)
+        shape[dim] = pad_r
+        parts.append(jnp.zeros(shape, arr.dtype))
+    return jnp.concatenate(parts, axis=dim)
+
+
+def _core(arr, h: int, xl: int, dim: int):
+    return lax.slice_in_dim(arr, h, h + xl, axis=dim)
+
+
+def _pad_x(arr, lo: int, hi: int, dim: int):
+    if not lo and not hi:
+        return arr
+    pads = [(0, 0, 0)] * arr.ndim
+    pads[dim] = (lo, hi, 0)
+    return lax.pad(arr, jnp.zeros((), arr.dtype), pads)
+
+
+def _interpret() -> bool:
+    from ..sim.step_dense import _interpret_kernels
+
+    return _interpret_kernels()
+
+
+# --------------------------------------------------------------------------
+# sharded kernel phases
+# --------------------------------------------------------------------------
+
+
+def p2g_raw_accumulators_sharded(
+    ctx: ShardCtx, table: SlotMajorTable, with_density: bool = True
+):
+    """Sharded ops/pallas_p2g.p2g_raw_accumulators: [7|8, X, Y, Z] raw
+    accumulator grids, bit-exact vs the unsharded kernel (per-cell sums run
+    in identical offset order regardless of the block partition)."""
+    x, y, z = table.grid_dim
+    k = table.capacity
+    zp = table.zp
+    n, ax = ctx.n, ctx.axis
+    assert x % n == 0, (x, n)
+    xl = x // n
+    h = 1
+    xpad = _round_up(xl + 2 * h, 8)
+    pad_r = xpad - (xl + 2 * h)
+    bx, by = pallas_p2g._pick_blocks(xpad, y, zp, k)
+    interp = _interpret()
+    n_out = 8 if with_density else 7
+
+    def body(posq, dyn):
+        xs = lax.axis_index(ax) * xl - h
+        pq = _extend_x(posq, h, pad_r, 2, n, ax, wrap=False)
+        dy = _extend_x(dyn, h, pad_r, 2, n, ax, wrap=False)
+        acc = pallas_p2g.p2g_accumulate(
+            pq, dy, bx=bx, by=by, interpret=interp,
+            velocity_only=not with_density, x_start=xs,
+        )
+        return _core(acc, h, xl, 1)
+
+    f = shard_map(
+        body, ctx.mesh, in_specs=(_P5(ax), _P5(ax)),
+        out_specs=P(None, ax),
+    )
+    return f(table.posq, table.dyn)[..., :z]
+
+
+def p2g_density_sharded(ctx: ShardCtx, table: SlotMajorTable,
+                        with_fluid: bool = False):
+    """Sharded ops/pallas_p2g.p2g_density_pallas (positions-only window)."""
+    x, y, z = table.grid_dim
+    k = table.capacity
+    zp = table.zp
+    n, ax = ctx.n, ctx.axis
+    xl = x // n
+    h = 1
+    xpad = _round_up(xl + 2 * h, 8)
+    pad_r = xpad - (xl + 2 * h)
+    bx, by = pallas_p2g._pick_blocks(xpad, y, zp, k)
+    interp = _interpret()
+
+    def body(posq):
+        xs = lax.axis_index(ax) * xl - h
+        pq = _extend_x(posq, h, pad_r, 2, n, ax, wrap=False)
+        acc = pallas_p2g.p2g_accumulate(
+            pq, None, bx=bx, by=by, interpret=interp, density_only=True,
+            x_start=xs,
+        )
+        return _core(acc, h, xl, 1)
+
+    f = shard_map(body, ctx.mesh, in_specs=(_P5(ax),), out_specs=P(None, ax))
+    acc = f(table.posq)
+    if with_fluid:
+        return acc[0, :, :, :z], acc[1, :, :, :z]
+    return acc[0, :, :, :z]
+
+
+def advect_sharded(
+    ctx: ShardCtx, table: SlotMajorTable, vel_grids, solid_occupancy,
+    solid_velocity, dt,
+):
+    """Sharded ops/pallas_advect.advect_sm_pallas (+ max-speed by-product).
+
+    The table is zero-extended (advect is per-particle: core outputs never
+    read neighbor slots), the grids are wrap-exchanged; outputs slice back to
+    the local core, max speed reduces with pmax."""
+    x, y, z = table.grid_dim
+    zp = table.zp
+    n, ax = ctx.n, ctx.axis
+    xl = x // n
+    with_solids = solid_occupancy is not None
+    h = 2 if with_solids else 1  # max grid-window halo (occ windows are +-2)
+    xpad = _round_up(xl + 2 * h, 8)
+    pad_r = xpad - (xl + 2 * h)
+    interp = _interpret()
+
+    def body(posq, dyn, v0, v1, v2, occ, sv, dt_, lost):
+        xs = (lax.axis_index(ax) * xl - h).astype(jnp.float32)
+        pq = _extend_x(posq, h, pad_r, 2, n, ax, wrap=False, exchange=False)
+        vels = [_extend_x(v, h, pad_r, 0, n, ax, wrap=True) for v in (v0, v1, v2)]
+        occ_e = sv_e = None
+        if with_solids:
+            occ_e = _extend_x(occ, h, pad_r, 0, n, ax, wrap=True)
+            sv_e = _extend_x(sv, h, pad_r, 0, n, ax, wrap=True)
+        sm_loc = SlotMajorTable(
+            posq=pq, dyn=dyn, lost=lost, grid_dim=(xpad, y, z)
+        )
+        out, ms = advect_sm_pallas(
+            sm_loc, vels, occ_e, sv_e, dt_, interpret=interp,
+            with_max_speed=True, x_start=xs, domain_dim=(x, y, z),
+        )
+        return (
+            _core(out.posq, h, xl, 2),
+            _core(out.dyn, h, xl, 2),
+            lax.pmax(ms, ax),
+        )
+
+    specs_in = (_P5(ax), _P5(ax), _P3(ax), _P3(ax), _P3(ax),
+                _P3(ax) if with_solids else _PR,
+                _P3(ax) if with_solids else _PR, _PR, _PR)
+    f = shard_map(
+        body, ctx.mesh, in_specs=specs_in,
+        out_specs=(_P5(ax), _P5(ax), _PR),
+    )
+    occ_in = solid_occupancy if with_solids else jnp.zeros((), jnp.float32)
+    sv_in = solid_velocity if with_solids else jnp.zeros((), jnp.float32)
+    posq, dyn, ms = f(
+        table.posq, table.dyn, *vel_grids, occ_in, sv_in,
+        jnp.asarray(dt, jnp.float32), table.lost,
+    )
+    out = SlotMajorTable(posq=posq, dyn=dyn, lost=table.lost,
+                         grid_dim=table.grid_dim)
+    return out, ms
+
+
+def correct_sharded(ctx: ShardCtx, table: SlotMajorTable, change, marker):
+    """Sharded ops/pallas_advect.correct_sm_pallas."""
+    x, y, z = table.grid_dim
+    n, ax = ctx.n, ctx.axis
+    xl = x // n
+    h = 1
+    xpad = _round_up(xl + 2 * h, 8)
+    pad_r = xpad - (xl + 2 * h)
+    interp = _interpret()
+
+    def body(posq, dyn, c0, c1, c2, mk, lost):
+        xs = (lax.axis_index(ax) * xl - h).astype(jnp.float32)
+        pq = _extend_x(posq, h, pad_r, 2, n, ax, wrap=False, exchange=False)
+        ch = [_extend_x(c, h, pad_r, 0, n, ax, wrap=True) for c in (c0, c1, c2)]
+        mk_e = _extend_x(mk, h, pad_r, 0, n, ax, wrap=True)
+        sm_loc = SlotMajorTable(posq=pq, dyn=dyn, lost=lost,
+                                grid_dim=(xpad, y, z))
+        out = correct_sm_pallas(
+            sm_loc, ch, mk_e, interpret=interp, x_start=xs,
+            domain_dim=(x, y, z),
+        )
+        return _core(out.posq, h, xl, 2)
+
+    f = shard_map(
+        body, ctx.mesh,
+        in_specs=(_P5(ax), _P5(ax), _P3(ax), _P3(ax), _P3(ax), _P3(ax), _PR),
+        out_specs=_P5(ax),
+    )
+    posq = f(table.posq, table.dyn, *change, marker, table.lost)
+    return SlotMajorTable(posq=posq, dyn=table.dyn, lost=table.lost,
+                          grid_dim=table.grid_dim)
+
+
+def rebin_sharded(
+    ctx: ShardCtx, table: SlotMajorTable, max_shift: int,
+    before_count,
+) -> SlotMajorTable:
+    """Sharded pallas_rebin.rebin_slot_major: x stage on the halo-exchanged
+    local window (immigrants arrive, emigrant duplicates are sliced away),
+    fused y+z stage locally, lost accounting via psum of the survivor-count
+    by-product."""
+    x, y, z = table.grid_dim
+    k = table.capacity
+    zp = table.zp
+    n, ax = ctx.n, ctx.axis
+    xl = x // n
+    s = max_shift
+    assert xl >= s, (xl, s)
+    slack = default_slack((table.posq.size + table.dyn.size) * 4, k)
+    k_mid = k + slack
+    h = s
+    xpad = _round_up(xl + 2 * h, 8)
+    pad_r = xpad - (xl + 2 * h)
+    bxx, byx = pallas_rebin._pick_blocks_x(
+        k, k_mid, xpad, y, s, zp, pallas_rebin._BUDGET
+    )
+    byz = pallas_rebin._pick_blocks_yz(
+        k_mid, k_mid, k, xl, y, s, zp, pallas_rebin._BUDGET
+    )
+    assert byz is not None
+    bxz, byzv = byz
+    interp = _interpret()
+
+    def body(posq, dyn):
+        xs = (lax.axis_index(ax) * xl - h).astype(jnp.float32)
+        pq = _extend_x(posq, h, pad_r, 2, n, ax, wrap=False)
+        dy = _extend_x(dyn, h, pad_r, 2, n, ax, wrap=False)
+        pq_m, dy_m = _rebin_stage_x(
+            pq, dy, s=s, k_out=k_mid, dim_a=x, bx=bxx, by=byx,
+            interpret=interp, x_start=xs,
+        )
+        pq_m = _core(pq_m, h, xl, 2)
+        dy_m = _core(dy_m, h, xl, 2)
+        pq_o, dy_o, cnt = _rebin_stage_yz(
+            pq_m, dy_m, s=s, k_mid=k_mid, k_out=k, dim_y=y, dim_z=z,
+            bx=bxz, by=byzv, interpret=interp,
+        )
+        after = lax.psum(jnp.sum(cnt), ax)
+        return pq_o, dy_o, after
+
+    f = shard_map(
+        body, ctx.mesh, in_specs=(_P5(ax), _P5(ax)),
+        out_specs=(_P5(ax), _P5(ax), _PR),
+    )
+    posq, dyn, after = f(table.posq, table.dyn)
+    lost = table.lost + (
+        jnp.asarray(before_count, jnp.int32) - after.astype(jnp.int32)
+    )
+    return SlotMajorTable(posq=posq, dyn=dyn, lost=lost,
+                          grid_dim=table.grid_dim)
+
+
+def advect_pack_sharded(
+    ctx: ShardCtx, table: SlotMajorTable, vel_grids, solid_occupancy,
+    solid_velocity, dt, k_out: int,
+):
+    """Sharded fused advect + x-rebin pack (the production fast path).
+    Table halo is EXCHANGED (the pack needs the real arrival candidates);
+    grid halos widen to s + hx. Returns (posq_mid, dyn_mid, max_speed) with
+    the mid arrays already sliced to the local core."""
+    x, y, z = table.grid_dim
+    zp = table.zp
+    n, ax = ctx.n, ctx.axis
+    xl = x // n
+    s = ADVECT_SHIFT
+    with_solids = solid_occupancy is not None
+    hx = 2 if with_solids else 1
+    h = s + hx
+    assert xl >= h, (xl, h)
+    xpad = _round_up(xl + 2 * h, 8)
+    pad_r = xpad - (xl + 2 * h)
+    interp = _interpret()
+
+    def body(posq, dyn, v0, v1, v2, occ, sv, dt_, lost):
+        xs = (lax.axis_index(ax) * xl - h).astype(jnp.float32)
+        # table halo: inner s planes REAL (the pack's arrival candidates for
+        # the core), outer hx planes ZERO — every VALID particle in the frame
+        # then has complete grid windows, so the in-kernel max-speed
+        # by-product sees only correctly-advected velocities (a real outer
+        # particle with a truncated window would pollute the pmax)
+        pq = _pad_x(_extend_x(posq, s, 0, 2, n, ax, wrap=False), hx, hx + pad_r, 2)
+        dy = _pad_x(_extend_x(dyn, s, 0, 2, n, ax, wrap=False), hx, hx + pad_r, 2)
+        vels = [_extend_x(v, h, pad_r, 0, n, ax, wrap=True) for v in (v0, v1, v2)]
+        occ_e = sv_e = None
+        if with_solids:
+            occ_e = _extend_x(occ, h, pad_r, 0, n, ax, wrap=True)
+            sv_e = _extend_x(sv, h, pad_r, 0, n, ax, wrap=True)
+        sm_loc = SlotMajorTable(posq=pq, dyn=dy, lost=lost,
+                                grid_dim=(xpad, y, z))
+        pq_m, dy_m, ms = advect_pack_sm_pallas(
+            sm_loc, vels, occ_e, sv_e, dt_, k_out, interpret=interp,
+            x_start=xs, domain_dim=(x, y, z),
+        )
+        return (
+            _core(pq_m, h, xl, 2),
+            _core(dy_m, h, xl, 2),
+            lax.pmax(ms, ax),
+        )
+
+    specs_in = (_P5(ax), _P5(ax), _P3(ax), _P3(ax), _P3(ax),
+                _P3(ax) if with_solids else _PR,
+                _P3(ax) if with_solids else _PR, _PR, _PR)
+    f = shard_map(body, ctx.mesh, in_specs=specs_in,
+                  out_specs=(_P5(ax), _P5(ax), _PR))
+    occ_in = solid_occupancy if with_solids else jnp.zeros((), jnp.float32)
+    sv_in = solid_velocity if with_solids else jnp.zeros((), jnp.float32)
+    return f(table.posq, table.dyn, *vel_grids, occ_in, sv_in,
+             jnp.asarray(dt, jnp.float32), table.lost)
+
+
+def correct_pack_sharded(
+    ctx: ShardCtx, table: SlotMajorTable, change, marker, k_out: int,
+):
+    """Sharded fused correct + x-rebin pack (s=1)."""
+    x, y, z = table.grid_dim
+    n, ax = ctx.n, ctx.axis
+    xl = x // n
+    s = CORRECT_SHIFT
+    hx = 1
+    h = s + hx
+    assert xl >= h, (xl, h)
+    xpad = _round_up(xl + 2 * h, 8)
+    pad_r = xpad - (xl + 2 * h)
+    interp = _interpret()
+
+    def body(posq, dyn, c0, c1, c2, mk, lost):
+        xs = (lax.axis_index(ax) * xl - h).astype(jnp.float32)
+        # inner-s real / outer-hx zero table halo — see advect_pack_sharded
+        pq = _pad_x(_extend_x(posq, s, 0, 2, n, ax, wrap=False), hx, hx + pad_r, 2)
+        dy = _pad_x(_extend_x(dyn, s, 0, 2, n, ax, wrap=False), hx, hx + pad_r, 2)
+        ch = [_extend_x(c, h, pad_r, 0, n, ax, wrap=True) for c in (c0, c1, c2)]
+        mk_e = _extend_x(mk, h, pad_r, 0, n, ax, wrap=True)
+        sm_loc = SlotMajorTable(posq=pq, dyn=dy, lost=lost,
+                                grid_dim=(xpad, y, z))
+        pq_m, dy_m = correct_pack_sm_pallas(
+            sm_loc, ch, mk_e, k_out, interpret=interp, x_start=xs,
+            domain_dim=(x, y, z),
+        )
+        return _core(pq_m, h, xl, 2), _core(dy_m, h, xl, 2)
+
+    f = shard_map(
+        body, ctx.mesh,
+        in_specs=(_P5(ax), _P5(ax), _P3(ax), _P3(ax), _P3(ax), _P3(ax), _PR),
+        out_specs=(_P5(ax), _P5(ax)),
+    )
+    return f(table.posq, table.dyn, *change, marker, table.lost)
+
+
+def rebin_yz_sharded(
+    ctx: ShardCtx, posq, dyn, grid_dim, max_shift: int, *, k_out: int,
+    lost, before_count,
+) -> SlotMajorTable:
+    """Sharded pallas_rebin.rebin_yz_slot_major: purely local (y/z movement
+    never crosses the x decomposition); only the survivor count reduces."""
+    x, y, z = grid_dim
+    k_mid = posq.shape[0]
+    zp = posq.shape[-1]
+    n, ax = ctx.n, ctx.axis
+    xl = x // n
+    blocks = pallas_rebin._pick_blocks_yz(
+        k_mid, k_mid, k_out, xl, y, max_shift, zp, pallas_rebin._BUDGET
+    )
+    assert blocks is not None
+    bx, by = blocks
+    interp = _interpret()
+
+    def body(pq_m, dy_m):
+        pq_o, dy_o, cnt = _rebin_stage_yz(
+            pq_m, dy_m, s=max_shift, k_mid=k_mid, k_out=k_out, dim_y=y,
+            dim_z=z, bx=bx, by=by, interpret=interp,
+        )
+        return pq_o, dy_o, lax.psum(jnp.sum(cnt), ax)
+
+    f = shard_map(body, ctx.mesh, in_specs=(_P5(ax), _P5(ax)),
+                  out_specs=(_P5(ax), _P5(ax), _PR))
+    pq_o, dy_o, after = f(posq, dyn)
+    lost = lost + (jnp.asarray(before_count, jnp.int32) - after.astype(jnp.int32))
+    return SlotMajorTable(posq=pq_o, dyn=dy_o, lost=lost, grid_dim=grid_dim)
+
+
+# --------------------------------------------------------------------------
+# the sharded production step
+# --------------------------------------------------------------------------
+
+
+def sharded_sm_supports(grid_dim, capacity: int, n: int) -> bool:
+    """Whether the sharded kernel path handles this configuration: local
+    shard width must cover the widest halo, and the per-shard (padded) block
+    shapes must fit the kernels' VMEM budgets."""
+    x, y, z = grid_dim
+    if x % n or y % 8:
+        return False
+    xl = x // n
+    if xl < 4:  # widest halo: fused advect with solids (s + hx = 4)
+        return False
+    zp = max(128, -(-z // 128) * 128)
+    kk = capacity + 4
+    xpad = _round_up(xl + 2 * ADVECT_SHIFT, 8)
+    if pallas_rebin._pick_blocks_x(
+        capacity, kk, xpad, y, ADVECT_SHIFT, zp, pallas_rebin._BUDGET
+    ) is None:
+        return False
+    return pallas_rebin._pick_blocks_yz(
+        kk, kk, capacity, xl, y, ADVECT_SHIFT, zp, pallas_rebin._BUDGET
+    ) is not None
+
+
+def step_dense_sharded(
+    params: SimParams,
+    ctx: ShardCtx,
+    state,
+    solids: Optional[SolidState] = None,
+    dt=None,
+):
+    """One fixed-dt step of the slot-major production path, spatially sharded
+    over ``ctx.mesh``. Mirrors sim/step_dense._step_slot_major pass for pass
+    (same phase functions, same fused advect/correct + pack kernels), with
+    the table kernels shard_mapped and the grid phases left to GSPMD.
+
+    The pressure solves use the XLA lax.while_loop solver — under GSPMD its
+    stencils become collective-permute halo exchanges and its dot products
+    all-reduces (round-2 evidence, tests/test_sharding.py); the whole-VMEM /
+    blocked PCG kernels are single-chip programs and are bypassed here."""
+    from ..sim.density import position_change_field
+    from ..sim.divergence import compute_divergence_rhs
+    from ..sim.extrapolate import extrapolate_velocity
+    from ..sim.pressure import solve_pressure
+    from ..sim.sm_phases import marker_from_counts
+    from ..sim.step_dense import DenseFluidState
+
+    if dt is None:
+        dt = params.dt
+    table: SlotMajorTable = state.table
+    occupancy = solids.occupancy if solids is not None else None
+    solid_vel = solids.velocity if solids is not None else None
+    x, y, z = params.grid_dim
+    k = table.capacity
+
+    # --- transfer & divergence (sharded P2G kernel) ---------------------------
+    acc = p2g_raw_accumulators_sharded(ctx, table, with_density=False)
+    marker = marker_from_counts(acc[-1], params.grid_dim, occupancy)
+    vel = pallas_p2g.normalize_velocity(acc, marker, params.gravity_grid, dt)
+    rhs = compute_divergence_rhs(vel, marker, solid_vel)
+
+    # --- pressure projection (velocity) ---------------------------------------
+    res_vel = solve_pressure(state.pressure_vel, rhs, marker, params.solver_vel, dt)
+    from ..sim.divergence import remove_divergence
+
+    vel = remove_divergence(vel, res_vel.pressure, marker, solid_vel)
+    vel = extrapolate_velocity(vel, marker)
+
+    # --- advection + rebin (sharded fused kernels) -----------------------------
+    slack = default_slack((table.posq.size + table.dyn.size) * 4, k)
+    n0 = jnp.int32(params.num_particles)
+    posq_mid, dyn_mid, max_speed = advect_pack_sharded(
+        ctx, table, vel, occupancy, solid_vel, dt, k + slack
+    )
+    table = rebin_yz_sharded(
+        ctx, posq_mid, dyn_mid, params.grid_dim, 2, k_out=k, lost=table.lost,
+        before_count=n0 - table.lost,
+    )
+
+    # --- implicit density projection ------------------------------------------
+    raw_density, fluid_cnt = p2g_density_sharded(ctx, table, with_fluid=True)
+    from ..sim.dense_transfer import density_rhs_from_raw
+
+    marker2 = marker_from_counts(fluid_cnt, params.grid_dim, occupancy)
+    den_rhs = density_rhs_from_raw(raw_density, marker2, dt)
+    res_den = solve_pressure(state.pressure_den, den_rhs, marker2,
+                             params.solver_den, dt)
+
+    change = position_change_field(res_den.pressure, marker2, dt)
+    change = extrapolate_velocity(change, marker2)
+    posq_mid, dyn_mid = correct_pack_sharded(ctx, table, change, marker2,
+                                             k + slack)
+    table = rebin_yz_sharded(
+        ctx, posq_mid, dyn_mid, params.grid_dim, 1, k_out=k, lost=table.lost,
+        before_count=n0 - table.lost,
+    )
+
+    return DenseFluidState(
+        table=table,
+        pressure_vel=res_vel.pressure,
+        pressure_den=res_den.pressure,
+        step_index=state.step_index + 1,
+        stats_vel=res_vel.stats,
+        stats_den=res_den.stats,
+        max_speed=max_speed,
+    )
+
+
+def sm_state_shardings(ctx: ShardCtx, state_like):
+    """NamedShardings for a DenseFluidState holding a SlotMajorTable:
+    5D table arrays split on dim 2 (grid X), 3D grids on dim 0, scalars and
+    stats replicated. (parallel/sharding.state_shardings covers the XLA
+    ParticleTable layout, whose leading dim is X.)"""
+    ax = ctx.axis
+
+    def spec(leaf):
+        nd = getattr(leaf, "ndim", 0)
+        if nd == 5:
+            return NamedSharding(ctx.mesh, _P5(ax))
+        if nd == 3:
+            return NamedSharding(ctx.mesh, _P3(ax))
+        return NamedSharding(ctx.mesh, P())
+
+    return jax.tree_util.tree_map(spec, state_like)
+
+
+def shard_sm_state(ctx: ShardCtx, state):
+    """Place a host-built slot-major DenseFluidState onto the mesh."""
+    return jax.tree_util.tree_map(
+        jax.device_put, state, sm_state_shardings(ctx, state)
+    )
+
+
+def make_sharded_step(params: SimParams, ctx: ShardCtx, donate: bool = True):
+    fn = partial(step_dense_sharded, params, ctx)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
