@@ -100,7 +100,14 @@ def run_config(grid, n_steps, capacity, batch, cfl, raw):
     steps_per_s = frames / wall
     n0 = pos.shape[0]
     lost = int(np.asarray(jax.device_get(state.table.lost)))
+    # which implementation actually ran: "sm" = slot-major Pallas kernel path,
+    # "pt" = XLA table fallback, ~3-13x slower (VERDICT.md r2 weak #8 asked
+    # for the silent fallback to be visible in bench output)
+    from blub_tpu.sim.slot_major import SlotMajorTable
+
+    layout = "sm" if isinstance(state.table, SlotMajorTable) else "pt(slow fallback)"
     return {
+        "layout": layout,
         "metric": f"sim steps/sec (dt=1/120 frames, CFL-substepped), {x}x{y}x{z} grid, {n0} particles, 1 chip",
         "value": round(steps_per_s, 2),
         "unit": "steps/s",

@@ -156,7 +156,7 @@ def shade_surface(normal: np.ndarray, albedo: np.ndarray, lighting: Lighting = N
     return radiance
 
 
-def sky_color(dirs: np.ndarray, lighting: Lighting = None) -> np.ndarray:
+def sh_sky_color(dirs: np.ndarray, lighting: Lighting = None) -> np.ndarray:
     """Cubemap stand-in: SH3 radiance reconstruction + sun disk (see module
     docstring Deviation note). dirs [..., 3] unit -> rgb."""
     lt = lighting or LIGHTING
@@ -165,6 +165,25 @@ def sky_color(dirs: np.ndarray, lighting: Lighting = None) -> np.ndarray:
     disk = np.clip((cos_sun - 0.9995) / 0.0005, 0.0, 1.0) ** 2
     glow = np.clip(cos_sun, 0.0, 1.0) ** 64
     return base + lt.dir_light_radiance * (3.0 * disk + 0.15 * glow)
+
+
+# optional RGBE cubemap sky (render/cubemap.py) — the reference's actual sky
+# display path (background.glsl:15-21); None keeps the SH-synthesized sky
+_SKY_CUBEMAP = None
+
+
+def set_sky_cubemap(cubemap) -> None:
+    """Install a render.cubemap.Cubemap as the sky (None to revert to SH)."""
+    global _SKY_CUBEMAP
+    _SKY_CUBEMAP = cubemap
+
+
+def sky_color(dirs: np.ndarray, lighting: Lighting = None) -> np.ndarray:
+    """Sky radiance for unit view dirs [..., 3]: the installed RGBE cubemap
+    when present (sampleHdrCubemap), else the SH-synthesized stand-in."""
+    if _SKY_CUBEMAP is not None:
+        return _SKY_CUBEMAP.sample(dirs)
+    return sh_sky_color(dirs, lighting)
 
 
 def _grid_box_filter(p: np.ndarray, ddx: np.ndarray, ddy: np.ndarray, n: float) -> np.ndarray:

@@ -244,3 +244,118 @@ def trace(log_dir: str):
     """Full XLA profiler trace (TensorBoard/Perfetto-compatible)."""
     with jax.profiler.trace(log_dir):
         yield
+
+
+# --- fused-program phase attribution from profiler traces --------------------
+#
+# The production step is ONE jit program (a scan over substeps inside a scan
+# over frames), so per-phase cost cannot be read off standalone re-dispatch
+# without paying ~ms of dispatch per phase and losing fusion effects
+# (VERDICT.md r2 missing #2). Instead, step_dense tags every phase with
+# jax.named_scope("ph_*"); those tags ride the HLO op metadata into the XLA
+# profiler's device lanes, and `profile_trace` aggregates device-op durations
+# by tag from the chrome-trace JSON the profiler writes. This mirrors how the
+# reference nests GPU timestamp scopes inside its one real submission
+# (hybrid_fluid.rs:798-973, pressure_solver.rs:655-723).
+
+_PHASE_RE = None
+
+
+def _phase_of(ev) -> Optional[str]:
+    """Extract a ph_* tag from a trace event's name or string args."""
+    global _PHASE_RE
+    if _PHASE_RE is None:
+        import re
+
+        _PHASE_RE = re.compile(r"\b(ph_[a-z0-9_]+)")
+    m = _PHASE_RE.search(ev.get("name", ""))
+    if m:
+        return m.group(1)
+    for v in (ev.get("args") or {}).values():
+        if isinstance(v, str):
+            m = _PHASE_RE.search(v)
+            if m:
+                return m.group(1)
+    return None
+
+
+def parse_phase_trace(log_dir) -> Dict[str, float]:
+    """Aggregate device-lane op durations by ph_* scope from the newest
+    trace.json.gz under `log_dir`. Returns {phase: ms} with untagged device
+    time under "other" (PCG while-loop bookkeeping, scan plumbing, ...)."""
+    import gzip
+
+    paths = sorted(
+        pathlib.Path(log_dir).rglob("*.trace.json.gz"),
+        key=lambda p: p.stat().st_mtime,
+    )
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {log_dir}")
+    with gzip.open(paths[-1], "rt") as f:
+        events = json.load(f)["traceEvents"]
+
+    # pid -> process name from metadata events; device lanes look like
+    # "/device:TPU:0" (also "TPU:0 (pid ..)" in some exporter versions)
+    pname: Dict[int, str] = {}
+    tname: Dict[tuple, str] = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pname[ev["pid"]] = ev["args"].get("name", "")
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            tname[(ev["pid"], ev.get("tid"))] = ev["args"].get("name", "")
+
+    def is_device(pid) -> bool:
+        n = pname.get(pid, "")
+        return ("TPU" in n or "device" in n.lower()) and "Host" not in n
+
+    # "XLA Ops" events NEST: a lax.scan / while lowers to one `while.N` event
+    # spanning all its body ops' events. Fold the hierarchy flamegraph-style:
+    # attribute each event's SELF time (dur minus direct children) to its own
+    # ph_* tag, inherited from the nearest tagged ancestor when untagged —
+    # so e.g. the PCG while's bookkeeping lands in ph_pcg_*, and only truly
+    # untagged top-level time (scan plumbing, state copies) lands in "other".
+    ops = []
+    for ev in events:
+        if ev.get("ph") != "X" or not is_device(ev.get("pid")):
+            continue
+        lane = tname.get((ev.get("pid"), ev.get("tid")), "")
+        if lane and ("Step" in lane or "Module" in lane or "Framework" in lane):
+            continue
+        ops.append(ev)
+    ops.sort(key=lambda e: (e["ts"], -e.get("dur", 0.0)))
+
+    out: Dict[str, float] = {}
+    stack: List[tuple] = []  # (end_ts, phase, child_time_accum list)
+    for ev in ops:
+        ts, dur = ev["ts"], ev.get("dur", 0.0)
+        while stack and ts >= stack[-1][0] - 1e-9:
+            end, phase, child = stack.pop()
+            # finalize popped event: self time = dur - children
+            out[phase] = out.get(phase, 0.0) + (child[1] - child[0]) / 1000.0
+            if stack:
+                stack[-1][2][0] += child[1]
+        parent_phase = stack[-1][1] if stack else None
+        phase = _phase_of(ev) or parent_phase or "other"
+        stack.append((ts + dur, phase, [0.0, dur]))
+    while stack:
+        end, phase, child = stack.pop()
+        out[phase] = out.get(phase, 0.0) + (child[1] - child[0]) / 1000.0
+        if stack:
+            stack[-1][2][0] += child[1]
+    return out
+
+
+def profile_trace(fn, *args, log_dir=None, runs: int = 1) -> Dict[str, float]:
+    """Run `fn(*args)` (already warm — compile first!) under the XLA profiler
+    and return per-phase device ms. `runs` identical calls amortize trace
+    startup skew; results are per-run means."""
+    import tempfile
+
+    log_dir = log_dir or tempfile.mkdtemp(prefix="blub_trace_")
+    with jax.profiler.trace(str(log_dir)):
+        out = None
+        for _ in range(runs):
+            out = fn(*args)
+        _sync(out)
+    phases = parse_phase_trace(log_dir)
+    return {k: v / max(runs, 1) for k, v in sorted(phases.items(), key=lambda kv: -kv[1])}

@@ -207,6 +207,15 @@ class Scene:
 
     # -- introspection ----------------------------------------------------
 
+    @property
+    def layout(self) -> str:
+        """Which implementation runs: "sm" = slot-major Pallas kernel path,
+        "pt" = XLA table fallback (~3-13x slower; VERDICT.md r2 weak #8 asked
+        for the silent fallback to be user-visible)."""
+        from ..sim.slot_major import SlotMajorTable
+
+        return "sm" if isinstance(self.state.table, SlotMajorTable) else "pt"
+
     def _particle_table(self):
         """The particle table as an EXTERNAL-layout ParticleTable view (the
         slot-major resident layout and the internal axis permutation both

@@ -240,20 +240,28 @@ def _step_slot_major(
     # one kernel pass yields the P2G accumulators AND the fluid counts the
     # marker needs (the reference similarly marks fluid during its
     # linked-list build, transfer_build_linkedlist.comp:24-26)
-    acc = p2g_raw_accumulators(table, interpret=interp, with_density=False)
-    marker = marker_from_counts(acc[-1], params.grid_dim, occupancy)
-    vel = normalize_velocity(acc, marker, params.gravity_grid, dt)
-    rhs = compute_divergence_rhs(vel, marker, solid_vel)
+    # jax.named_scope tags flow into HLO op metadata, so profiler traces of
+    # the REAL fused program attribute device time per phase
+    # (runtime/profiler.py::profile_trace — VERDICT.md r2 missing #2)
+    with jax.named_scope("ph_p2g"):
+        acc = p2g_raw_accumulators(table, interpret=interp, with_density=False)
+    with jax.named_scope("ph_marker"):
+        marker = marker_from_counts(acc[-1], params.grid_dim, occupancy)
+        vel = normalize_velocity(acc, marker, params.gravity_grid, dt)
+    with jax.named_scope("ph_div_rhs"):
+        rhs = compute_divergence_rhs(vel, marker, solid_vel)
 
     # --- pressure projection (velocity) --------------------------------------
-    res_vel = solve(state.pressure_vel, rhs, marker, params.solver_vel, dt)
-    if pallas_gridfix.supports(params.grid_dim):
-        vel = pallas_gridfix.remove_extrapolate_pallas(
-            vel, res_vel.pressure, marker, solid_vel, interpret=interp
-        )
-    else:
-        vel = remove_divergence(vel, res_vel.pressure, marker, solid_vel)
-        vel = extrapolate_velocity(vel, marker)
+    with jax.named_scope("ph_pcg_vel"):
+        res_vel = solve(state.pressure_vel, rhs, marker, params.solver_vel, dt)
+    with jax.named_scope("ph_gridfix_vel"):
+        if pallas_gridfix.supports(params.grid_dim):
+            vel = pallas_gridfix.remove_extrapolate_pallas(
+                vel, res_vel.pressure, marker, solid_vel, interpret=interp
+            )
+        else:
+            vel = remove_divergence(vel, res_vel.pressure, marker, solid_vel)
+            vel = extrapolate_velocity(vel, marker)
 
     # --- advection + rebin ----------------------------------------------------
     # fused advect+x-pack when supported: the x rebin stage's full-table HBM
@@ -268,50 +276,62 @@ def _step_slot_major(
     # rebin's lost accounting needs no table-wide reduction
     n0 = jnp.int32(params.num_particles)
     if fused:
-        posq_mid, dyn_mid, max_speed = advect_pack_sm_pallas(
-            table, vel, occupancy, solid_vel, dt, k + slack, interpret=interp
-        )
-        table = rebin_yz_slot_major(
-            posq_mid, dyn_mid, params.grid_dim, 2, k_out=k, lost=table.lost,
-            before_count=n0 - table.lost, interpret=interp,
-        )
+        with jax.named_scope("ph_advect"):
+            posq_mid, dyn_mid, max_speed = advect_pack_sm_pallas(
+                table, vel, occupancy, solid_vel, dt, k + slack, interpret=interp
+            )
+        with jax.named_scope("ph_rebin2"):
+            table = rebin_yz_slot_major(
+                posq_mid, dyn_mid, params.grid_dim, 2, k_out=k, lost=table.lost,
+                before_count=n0 - table.lost, interpret=interp,
+            )
     else:
-        table, max_speed = advect_sm_pallas(
-            table, vel, occupancy, solid_vel, dt, interpret=interp,
-            with_max_speed=True,
-        )
-        table = rebin_slot_major(
-            table, max_shift=2, interpret=interp, before_count=n0 - table.lost
-        )
+        with jax.named_scope("ph_advect"):
+            table, max_speed = advect_sm_pallas(
+                table, vel, occupancy, solid_vel, dt, interpret=interp,
+                with_max_speed=True,
+            )
+        with jax.named_scope("ph_rebin2"):
+            table = rebin_slot_major(
+                table, max_shift=2, interpret=interp, before_count=n0 - table.lost
+            )
 
     # --- implicit density projection ------------------------------------------
-    raw_density, fluid_cnt = p2g_density_pallas(
-        table, interpret=interp, with_fluid=True
-    )
-    marker2 = marker_from_counts(fluid_cnt, params.grid_dim, occupancy)
-    den_rhs = density_rhs_from_raw(raw_density, marker2, dt)
-    res_den = solve(state.pressure_den, den_rhs, marker2, params.solver_den, dt)
+    with jax.named_scope("ph_p2g_density"):
+        raw_density, fluid_cnt = p2g_density_pallas(
+            table, interpret=interp, with_fluid=True
+        )
+    with jax.named_scope("ph_den_rhs"):
+        marker2 = marker_from_counts(fluid_cnt, params.grid_dim, occupancy)
+        den_rhs = density_rhs_from_raw(raw_density, marker2, dt)
+    with jax.named_scope("ph_pcg_den"):
+        res_den = solve(state.pressure_den, den_rhs, marker2, params.solver_den, dt)
 
-    if pallas_gridfix.supports(params.grid_dim):
-        change = pallas_gridfix.change_extrapolate_pallas(
-            res_den.pressure, marker2, dt, interpret=interp
-        )
-    else:
-        change = position_change_field(res_den.pressure, marker2, dt)
-        change = extrapolate_velocity(change, marker2)
+    with jax.named_scope("ph_gridfix_den"):
+        if pallas_gridfix.supports(params.grid_dim):
+            change = pallas_gridfix.change_extrapolate_pallas(
+                res_den.pressure, marker2, dt, interpret=interp
+            )
+        else:
+            change = position_change_field(res_den.pressure, marker2, dt)
+            change = extrapolate_velocity(change, marker2)
     if fused:
-        posq_mid, dyn_mid = correct_pack_sm_pallas(
-            table, change, marker2, k + slack, interpret=interp
-        )
-        table = rebin_yz_slot_major(
-            posq_mid, dyn_mid, params.grid_dim, 1, k_out=k, lost=table.lost,
-            before_count=n0 - table.lost, interpret=interp,
-        )
+        with jax.named_scope("ph_correct"):
+            posq_mid, dyn_mid = correct_pack_sm_pallas(
+                table, change, marker2, k + slack, interpret=interp
+            )
+        with jax.named_scope("ph_rebin1"):
+            table = rebin_yz_slot_major(
+                posq_mid, dyn_mid, params.grid_dim, 1, k_out=k, lost=table.lost,
+                before_count=n0 - table.lost, interpret=interp,
+            )
     else:
-        table = correct_sm_pallas(table, change, marker2, interpret=interp)
-        table = rebin_slot_major(
-            table, max_shift=1, interpret=interp, before_count=n0 - table.lost
-        )
+        with jax.named_scope("ph_correct"):
+            table = correct_sm_pallas(table, change, marker2, interpret=interp)
+        with jax.named_scope("ph_rebin1"):
+            table = rebin_slot_major(
+                table, max_shift=1, interpret=interp, before_count=n0 - table.lost
+            )
 
     return DenseFluidState(
         table=table,

@@ -283,3 +283,87 @@ def test_obj_parser_uv_and_checker_fallback(tmp_path):
     # checker = Kd alternating with darker Kd
     assert np.allclose(texture.max(axis=(0, 1)), [0.8, 0.2, 0.1], atol=1e-6)
     assert not np.allclose(texture[0, 0], texture[0, 1])
+
+
+def test_rgbe_encode_decode_roundtrip():
+    from blub_tpu.render.cubemap import decode_rgbe, encode_rgbe
+
+    rng = np.random.default_rng(3)
+    rgb = (rng.random((64, 3)).astype(np.float32) * 10.0) ** 3.0  # wide HDR range
+    back = decode_rgbe(encode_rgbe(rgb))
+    # shared-exponent format: abs error bounded by the PIXEL max / 2^8
+    # (small channels quantize on the max channel's scale)
+    bound = rgb.max(axis=-1, keepdims=True) / 256.0 + 1e-30
+    assert np.all(np.abs(back - rgb) <= bound)
+    # exact zero maps to exact zero
+    assert np.all(decode_rgbe(encode_rgbe(np.zeros((4, 3), np.float32))) == 0.0)
+
+
+def test_hdr_file_roundtrip_and_rle(tmp_path):
+    from blub_tpu.render.cubemap import _read_hdr_scanline, encode_rgbe, load_hdr, write_hdr
+
+    rgbe = encode_rgbe(np.random.default_rng(0).random((16, 16, 3)).astype(np.float32))
+    write_hdr(tmp_path / "f.hdr", rgbe)
+    back = load_hdr(tmp_path / "f.hdr")
+    np.testing.assert_array_equal(back, rgbe)
+
+    # hand-built new-style RLE scanline: width 8, each channel = run(5 bytes
+    # of v) + literal dump of 3 bytes
+    w = 8
+    data = bytes([2, 2, 0, w])
+    expect = np.empty((w, 4), np.uint8)
+    for ch, v in enumerate((10, 20, 30, 140)):
+        lits = [ch + 1, ch + 2, ch + 3]
+        data += bytes([128 + 5, v, 3] + lits)
+        expect[:5, ch] = v
+        expect[5:, ch] = lits
+    line, off = _read_hdr_scanline(data, 0, w)
+    assert off == len(data)
+    np.testing.assert_array_equal(line, expect)
+
+    # git-lfs pointer rejected
+    (tmp_path / "ptr.hdr").write_text("version https://git-lfs.github.com/spec/v1\n")
+    with pytest.raises(ValueError):
+        load_hdr(tmp_path / "ptr.hdr")
+
+
+def test_cubemap_sample_matches_sky():
+    """Bake the SH sky into RGBE faces, sample back along random dirs: the
+    full encode/store/decode/face-math path reproduces the analytic sky."""
+    from blub_tpu.render.cubemap import procedural_cubemap
+    from blub_tpu.render.environment import sh_sky_color
+
+    cm = procedural_cubemap(resolution=128)
+    rng = np.random.default_rng(1)
+    dirs = rng.normal(size=(500, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    got = cm.sample(dirs)
+    want = sh_sky_color(dirs)
+    # avoid the sun disk (sub-texel feature); compare the smooth sky
+    cos_sun = want.max(axis=-1) < 1.0
+    err = np.abs(got - want)[cos_sun]
+    rel = err / (np.abs(want[cos_sun]) + 1e-3)
+    assert np.percentile(rel, 95) < 0.08, np.percentile(rel, 95)
+
+
+def test_sky_cubemap_dispatch_and_fallback(tmp_path, caplog):
+    import logging
+
+    from blub_tpu.render.cubemap import load_cubemap
+    from blub_tpu.render.environment import set_sky_cubemap, sh_sky_color, sky_color
+
+    # load_cubemap on a dir of lfs pointers falls back to the procedural bake
+    for n in ("px", "nx", "py", "ny", "pz", "nz"):
+        (tmp_path / f"{n}.hdr").write_text("version https://git-lfs.github.com/spec/v1\n")
+    with caplog.at_level(logging.WARNING):
+        cm = load_cubemap(tmp_path)
+    assert any("PROCEDURAL" in r.message for r in caplog.records)
+
+    dirs = np.asarray([[0.0, 1.0, 0.0], [0.6, 0.64, 0.48]], np.float32)
+    base = sky_color(dirs)
+    np.testing.assert_allclose(base, sh_sky_color(dirs))  # no cubemap installed
+    try:
+        set_sky_cubemap(cm)
+        np.testing.assert_allclose(sky_color(dirs), cm.sample(dirs))
+    finally:
+        set_sky_cubemap(None)
