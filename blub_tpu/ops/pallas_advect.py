@@ -299,6 +299,7 @@ def _advect_block(
     max-speed by-product (their advect outputs are garbage; the pack masks
     them out of the table separately)."""
     zp = posq_ref.shape[-1]
+    k = posq_ref.shape[0]
     bxc = bx + 2 * xpad  # compute width
     if with_solids:
         (_, wv0, _), (_, wv1, _), (_, wv2, _), (_, wocc, _), (_, ws0, _), (_, ws1, _), (_, ws2, _) = grids
@@ -326,8 +327,48 @@ def _advect_block(
     gmax = [float(grid_dim[a]) - 1.001 for a in range(3)]
     wins_v = (wv0, wv1, wv2)
 
-    pos = [posq_ref[:, a] for a in range(3)]
-    valid = posq_ref[:, CH_VALID]
+    # slot-group occupancy gating (PERF.md round 3): the G2P/RK4/collision
+    # math runs per GROUP of 4 slots and is skipped (one cheap reduce) when no
+    # particle occupies the group anywhere in the block — packs fill lowest
+    # slots first, so upper groups are empty almost everywhere in typical
+    # flows (~2-3 particles/cell vs capacity 16). ms_ref accumulates across
+    # groups via maximum.
+    ms_ref[...] = jnp.zeros((8, 128), jnp.float32)
+    for q0 in range(0, k, _GSZ):
+        q1 = min(q0 + _GSZ, k)
+        vg = jnp.any(posq_ref[q0:q1, CH_VALID] > 0.5)
+
+        @pl.when(vg)
+        def _grp(q0=q0, q1=q1):
+            _advect_group(
+                dt, posq_ref, outp_ref, outd_ref, ms_ref, q0, q1,
+                gi=gi, gf=gf, gmax=gmax, wins_v=wins_v,
+                wocc=wocc if with_solids else None,
+                wsv=(ws0, ws1, ws2) if with_solids else None,
+                bxc=bxc, by=by, with_solids=with_solids,
+                rowok_b=rowok_b, xs=xs,
+            )
+
+        @pl.when(jnp.logical_not(vg))
+        def _zero(q0=q0, q1=q1):
+            outp_ref[q0:q1] = jnp.zeros(
+                (q1 - q0, NUM_POSQ, bxc, by, zp), jnp.float32
+            )
+            outd_ref[q0:q1] = jnp.zeros(
+                (q1 - q0, NUM_DYN, bxc, by, zp), jnp.float32
+            )
+
+
+_GSZ = 4  # slot-group size for occupancy gating
+
+
+def _advect_group(
+    dt, posq_ref, outp_ref, outd_ref, ms_ref, q0, q1,
+    *, gi, gf, gmax, wins_v, wocc, wsv, bxc, by, with_solids, rowok_b, xs,
+):
+    """The advect math of _advect_block for slots [q0, q1)."""
+    pos = [posq_ref[q0:q1, a] for a in range(3)]
+    valid = posq_ref[q0:q1, CH_VALID]
     validb = valid > 0.5
 
     xi = [pos[a] - 0.5 - gf[a] for a in range(3)]
@@ -336,7 +377,7 @@ def _advect_block(
     if with_solids:
         # escape from moving solids (advect_particles.comp:46-66)
         occ_here = _primal_select(wocc, sel, 2, bxc, by)
-        sv_here = [_primal_select(w, sel, 1, bxc, by) for w in (ws0, ws1, ws2)]
+        sv_here = [_primal_select(w, sel, 1, bxc, by) for w in wsv]
         abs_sv = [jnp.abs(v) for v in sv_here]
         use_x = (abs_sv[0] > abs_sv[1]) & (abs_sv[0] > abs_sv[2])
         use_y = jnp.logical_not(use_x) & (abs_sv[1] > abs_sv[2])
@@ -403,11 +444,12 @@ def _advect_block(
         velocity[a] = jnp.where(penetrates, direction[a] * inv_dt, velocity[a])
 
     for a in range(3):
-        outp_ref[:, a] = jnp.where(validb, new_pos[a], 0.0)
-    outp_ref[:, CH_VALID] = valid
+        outp_ref[q0:q1, a] = jnp.where(validb, new_pos[a], 0.0)
+    outp_ref[q0:q1, CH_VALID] = valid
     # per-block max |v|^2 by-product (drives CFL substepping without a
     # separate whole-table reduction; scalar in an (8,128)-tile like
-    # pallas_pcg's stats output — scatter doesn't lower in Mosaic)
+    # pallas_pcg's stats output — scatter doesn't lower in Mosaic);
+    # max-accumulated across slot groups (ms_ref is zeroed before the loop)
     # clamped duplicate halo rows (fused path) hold garbage — zero them out of
     # the payload and the max-speed reduction; the pack drops them anyway
     okb = validb if rowok_b is None else (validb & rowok_b[None])
@@ -415,7 +457,9 @@ def _advect_block(
     ms = jnp.max(vq[0] * vq[0] + vq[1] * vq[1] + vq[2] * vq[2])
     ii = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    ms_ref[...] = jnp.where((ii == 0) & (jj == 0), ms, 0.0)
+    ms_ref[...] = jnp.maximum(
+        ms_ref[...], jnp.where((ii == 0) & (jj == 0), ms, 0.0)
+    )
     aq = [
         jnp.where(okb, affine[c][a], 0.0) for c in range(3) for a in range(3)
     ]
@@ -424,7 +468,7 @@ def _advect_block(
         (aq[3], aq[4]), (aq[5], aq[6]), (aq[7], aq[8]),
     )
     for c, (hi, lo) in enumerate(pairs):
-        outd_ref[:, c] = pack_pair(hi, lo)
+        outd_ref[q0:q1, c] = pack_pair(hi, lo)
 
 
 def _correct_kernel(*refs, bx, by, X, Y, grid_dim, with_xs=False):
@@ -478,12 +522,36 @@ def _correct_block(
         gf[0] = gf[0] + xs
     gmax = [float(grid_dim[a]) - 1.001 for a in range(3)]
 
-    pos = [posq_ref[:, a] for a in range(3)]
-    validb = posq_ref[:, CH_VALID] > 0.5
+    # slot-group occupancy gating, as in _advect_block
+    k = posq_ref.shape[0]
+    for q0 in range(0, k, _GSZ):
+        q1 = min(q0 + _GSZ, k)
+        vg = jnp.any(posq_ref[q0:q1, CH_VALID] > 0.5)
+
+        @pl.when(vg)
+        def _grp(q0=q0, q1=q1):
+            _correct_group(
+                posq_ref, out_ref, q0, q1, gi=gi, gf=gf, gmax=gmax,
+                wins_c=(wc0, wc1, wc2), wmk=wmk, bxc=bxc, by=by, xs=xs,
+            )
+
+        @pl.when(jnp.logical_not(vg))
+        def _zero(q0=q0, q1=q1):
+            out_ref[q0:q1] = jnp.zeros(
+                (q1 - q0, NUM_POSQ, bxc, by, zp), jnp.float32
+            )
+
+
+def _correct_group(
+    posq_ref, out_ref, q0, q1, *, gi, gf, gmax, wins_c, wmk, bxc, by, xs,
+):
+    """The position-correction math of _correct_block for slots [q0, q1)."""
+    pos = [posq_ref[q0:q1, a] for a in range(3)]
+    validb = posq_ref[q0:q1, CH_VALID] > 0.5
 
     xi = [jnp.clip(pos[a] - 0.5 - gf[a], 0.0, 1.0 - 1e-6) for a in range(3)]
     sel = [x >= 0.5 for x in xi]
-    corners, interps = _staggered_corners((wc0, wc1, wc2), sel, xi, bxc, by)
+    corners, interps = _staggered_corners(wins_c, sel, xi, bxc, by)
     movement = [_tri(corners[c], *interps[c]) for c in range(3)]
     movement = [jnp.clip(m, -MAX_CORRECT_MOVE, MAX_CORRECT_MOVE) for m in movement]
     new_pos = [
@@ -510,8 +578,8 @@ def _correct_block(
         new_pos[a] = jnp.where(penetrates, corrected, new_pos[a])
 
     for a in range(3):
-        out_ref[:, a] = jnp.where(validb, new_pos[a], 0.0)
-    out_ref[:, CH_VALID] = posq_ref[:, CH_VALID]
+        out_ref[q0:q1, a] = jnp.where(validb, new_pos[a], 0.0)
+    out_ref[q0:q1, CH_VALID] = posq_ref[q0:q1, CH_VALID]
 
 
 def _grid_window_scratch(bx, by, zp, hx):
@@ -726,48 +794,99 @@ def correct_sm_pallas(
 # nicety (particle_binning*.comp); here binning is correctness-bearing. The
 # fusion is the TPU answer to its absence of per-step binning cost.
 
-from .pallas_rebin import _pack_core, _ref_writers, _rowok, _window_parts
+from .pallas_rebin import (
+    _pack_core,
+    _ref_writers,
+    _rowok,
+    _window_parts,
+    group_ranges,
+)
 
 ADVECT_SHIFT = 2  # advect clamps bin movement to +-2 (MAX_ADVECT_MOVE clamp)
 CORRECT_SHIFT = 1  # correct clamps to +-1
 
 
-def _pipelined_table_window(pairs, sems, i, j, *, s, bx, by, X, Y):
+def _pipelined_table_window(pairs, sems, i, j, *, s, bx, by, X, Y, gmask=None):
     """Double-buffered clamped x-halo table-window DMA (same scheme as
     pallas_rebin._pipelined_window): block n+1's window streams in while
-    block n computes. Returns the window buffer slot for the current block."""
+    block n computes. Returns the window buffer slot for the current block.
+
+    ``gmask`` (SMEM i32[ni, nj], see pallas_rebin.block_group_mask):
+    occupancy-gated slot transport — upper slot groups with no valid particle
+    anywhere in the window skip their DMA and zero-fill instead (bit-identical
+    bytes; empty slots are exact zeros)."""
     ni = pl.num_programs(0)
     nj = pl.num_programs(1)
     it = i * nj + j
     slot = jax.lax.rem(it, 2)
+    k_in = pairs[0][1].shape[1]
+    ranges = group_ranges(k_in) if gmask is not None else [(0, k_in, None)]
+    npair = len(pairs)
 
-    def parts(ii, jj, sl):
+    def group_copies(ii, jj, sl, gi):
+        q0, q1, _ = ranges[gi]
         cs = []
         for n, (hbm, win) in enumerate(pairs):
             cs += _window_parts(
-                hbm, win, sems, 3 * n, 0, ii, jj, sl, s=s, bx=bx, by=by, X=X, Y=Y
+                hbm, win, sems, 3 * (npair * gi + n), 0, ii, jj, sl,
+                s=s, bx=bx, by=by, X=X, Y=Y, q0=q0, q1=q1,
             )
         return cs
 
+    def start_all(ii, jj, sl):
+        for gi, (q0, q1, bit) in enumerate(ranges):
+            cs = group_copies(ii, jj, sl, gi)
+            if bit is None:
+                for c in cs:
+                    c.start()
+                continue
+            on = jax.lax.shift_right_logical(gmask[ii, jj], bit) & 1
+
+            @pl.when(on == 1)
+            def _start(cs=cs):
+                for c in cs:
+                    c.start()
+
+            @pl.when(on == 0)
+            def _zero(q0=q0, q1=q1, sl=sl):
+                for _, win in pairs:
+                    wv = win.at[sl]
+                    wv[q0:q1] = jnp.zeros(
+                        (q1 - q0,) + win.shape[2:], jnp.float32
+                    )
+
     @pl.when(it == 0)
     def _warm():
-        for c in parts(i, j, slot):
-            c.start()
+        start_all(i, j, slot)
 
     nxt = it + 1
 
     @pl.when(nxt < ni * nj)
     def _prefetch():
-        for c in parts(nxt // nj, jax.lax.rem(nxt, nj), 1 - slot):
-            c.start()
+        start_all(nxt // nj, jax.lax.rem(nxt, nj), 1 - slot)
 
-    for c in parts(i, j, slot):
-        c.wait()
+    for gi, (q0, q1, bit) in enumerate(ranges):
+        cs = group_copies(i, j, slot, gi)
+        if bit is None:
+            for c in cs:
+                c.wait()
+            continue
+        on = jax.lax.shift_right_logical(gmask[i, j], bit) & 1
+
+        @pl.when(on == 1)
+        def _wait(cs=cs):
+            for c in cs:
+                c.wait()
+
     return slot
 
 
 def _advect_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim, with_solids,
-                        with_xs=False):
+                        with_xs=False, with_gmask=False):
+    gmask = None
+    if with_gmask:
+        gm_ref, *refs = refs
+        gmask = gm_ref
     if with_solids:
         (dt_ref, posq_hbm, v0, v1, v2, occ, s0, s1, s2,
          outp_ref, outd_ref, ms_ref,
@@ -787,7 +906,8 @@ def _advect_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim, with_solids,
     k = twinp.shape[1]
 
     slot = _pipelined_table_window(
-        ((posq_hbm, twinp),), tsems, i, j, s=s, bx=bx, by=by, X=X, Y=Y
+        ((posq_hbm, twinp),), tsems, i, j, s=s, bx=bx, by=by, X=X, Y=Y,
+        gmask=gmask,
     )
     posq_win = twinp.at[slot]
 
@@ -829,10 +949,14 @@ def _advect_pack_call(
 ):
     k, chp, x, y, zp = posq.shape
     bxe = bx + 2 * s
+    from .pallas_rebin import block_group_mask, cell_group_any, group_ranges
+
+    nranges = len(group_ranges(k))
+    with_gmask = nranges > 1
     kernel = functools.partial(
         _advect_pack_kernel, s=s, k_out=k_out, bx=bx, by=by, X=x, Y=y,
         grid_dim=grid_dim, with_solids=with_solids,
-        with_xs=dt_arr.shape[0] >= 2,
+        with_xs=dt_arr.shape[0] >= 2, with_gmask=with_gmask,
     )
     outp_spec = pl.BlockSpec(
         (k_out, NUM_POSQ, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
@@ -846,6 +970,10 @@ def _advect_pack_call(
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), any_spec, any_spec, any_spec, any_spec]
     inputs = [dt_arr, posq, v0, v1, v2]
+    if with_gmask:
+        # occupancy-gated table-window DMA (pallas_rebin.block_group_mask)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = [block_group_mask(cell_group_any(posq), bx, by, s, 0)] + inputs
     gscratch = [_grid_window_scratch(bx, by, zp, 1 + s) for _ in range(3)]
     ngrids = 3
     if with_solids:
@@ -864,7 +992,7 @@ def _advect_pack_call(
         + [
             pltpu.VMEM((k, NUM_POSQ, bxe, by, zp), jnp.float32),
             pltpu.VMEM((k, NUM_DYN, bxe, by, zp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3 * nranges)),
             pltpu.SemaphoreType.DMA((9 * ngrids,)),
         ]
     )
@@ -886,7 +1014,13 @@ def _advect_pack_call(
     )(*inputs)
 
 
-def _correct_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim, with_xs=False):
+def _correct_pack_kernel(
+    *refs, s, k_out, bx, by, X, Y, grid_dim, with_xs=False, with_gmask=False,
+):
+    gmask = None
+    if with_gmask:
+        gm_ref, *refs = refs
+        gmask = gm_ref
     xs = None
     if with_xs:
         sc_ref, *refs = refs
@@ -901,7 +1035,7 @@ def _correct_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim, with_xs=False)
 
     slot = _pipelined_table_window(
         ((posq_hbm, twinp), (dyn_hbm, twind)), tsems, i, j,
-        s=s, bx=bx, by=by, X=X, Y=Y,
+        s=s, bx=bx, by=by, X=X, Y=Y, gmask=gmask,
     )
     posq_win = twinp.at[slot]
     dyn_win = twind.at[slot]
@@ -943,9 +1077,13 @@ def _correct_pack_call(
     k, chp, x, y, zp = posq.shape
     bxe = bx + 2 * s
     with_xs = sc_arr is not None
+    from .pallas_rebin import block_group_mask, cell_group_any, group_ranges
+
+    nranges = len(group_ranges(k))
+    with_gmask = nranges > 1
     kernel = functools.partial(
         _correct_pack_kernel, s=s, k_out=k_out, bx=bx, by=by, X=x, Y=y,
-        grid_dim=grid_dim, with_xs=with_xs,
+        grid_dim=grid_dim, with_xs=with_xs, with_gmask=with_gmask,
     )
     outp_spec = pl.BlockSpec(
         (k_out, NUM_POSQ, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
@@ -963,7 +1101,7 @@ def _correct_pack_call(
     scratch += [_grid_window_scratch(bx, by, zp, 1 + s) for _ in range(4)]
     scratch += [
         pltpu.VMEM((k, NUM_POSQ, bxe, by, zp), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 6)),
+        pltpu.SemaphoreType.DMA((2, 6 * nranges)),
         pltpu.SemaphoreType.DMA((36,)),
     ]
     in_specs = [any_spec] * 6
@@ -971,6 +1109,10 @@ def _correct_pack_call(
     if with_xs:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
         inputs = [sc_arr] + inputs
+    if with_gmask:
+        # occupancy-gated table-window DMA (pallas_rebin.block_group_mask)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = [block_group_mask(cell_group_any(posq), bx, by, s, 0)] + inputs
     return pl.pallas_call(
         kernel,
         grid=(x // bx, y // by),

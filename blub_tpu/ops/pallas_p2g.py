@@ -75,8 +75,11 @@ def _window_parts(i, j, bx, by, X, Y):
 def _kernel(
     *refs, bx: int, by: int, X: int, Y: int, z: int,
     density_only: bool = False, velocity_only: bool = False,
-    with_xs: bool = False,
+    with_xs: bool = False, with_gmask: bool = False,
 ):
+    gmask = None
+    if with_gmask:
+        gmask, *refs = refs
     xs_ref = None
     if with_xs:
         xs_ref, *refs = refs
@@ -92,11 +95,22 @@ def _kernel(
     nj = pl.num_programs(1)
     it = i * nj + j
     slot = jax.lax.rem(it, 2)
+    k_slots = winp.shape[1]
 
     # 9-part window DMA per source: x parts [1 | bx | 1], y parts [8 | by | 8].
     # Windows are double-buffered: block n+1's window streams in while block n
-    # computes (the window DMA is the bulk of calm-flow P2G time).
-    def parts(ii, jj, sl):
+    # computes (the window DMA is the bulk of calm-flow P2G time). Slot groups
+    # above _G0 are occupancy-gated via ``gmask`` (see
+    # pallas_rebin.block_group_mask): groups with no valid particle anywhere
+    # in the window skip their DMA and zero-fill instead (bit-identical bytes
+    # — empty slots hold exact zeros).
+    from .pallas_rebin import group_ranges
+
+    ranges = group_ranges(k_slots) if with_gmask else [(0, k_slots, None)]
+
+    def group_parts(ii, jj, sl, gi):
+        q0, q1, _ = ranges[gi]
+        qs = pl.ds(q0, q1 - q0)
         xparts, yparts = _window_parts(ii, jj, bx, by, X, Y)
         copies = []
         for t, (hbm, win) in enumerate(srcs):
@@ -104,27 +118,57 @@ def _kernel(
                 for m, (ys, yd, yn) in enumerate(yparts):
                     copies.append(
                         pltpu.make_async_copy(
-                            hbm.at[:, :, pl.ds(xs, xn), pl.ds(ys, yn), :],
-                            win.at[sl, :, :, pl.ds(xd, xn), pl.ds(yd, yn), :],
-                            sems.at[sl, 9 * t + n * 3 + m],
+                            hbm.at[qs, :, pl.ds(xs, xn), pl.ds(ys, yn), :],
+                            win.at[sl, qs, :, pl.ds(xd, xn), pl.ds(yd, yn), :],
+                            sems.at[sl, 9 * (len(srcs) * gi + t) + n * 3 + m],
                         )
                     )
         return copies
 
+    def start_all(ii, jj, sl):
+        for gi, (q0, q1, bit) in enumerate(ranges):
+            cs = group_parts(ii, jj, sl, gi)
+            if bit is None:
+                for c in cs:
+                    c.start()
+                continue
+            on = jax.lax.shift_right_logical(gmask[ii, jj], bit) & 1
+
+            @pl.when(on == 1)
+            def _start(cs=cs):
+                for c in cs:
+                    c.start()
+
+            @pl.when(on == 0)
+            def _zero(q0=q0, q1=q1, sl=sl):
+                for _, win in srcs:
+                    wv = win.at[sl]
+                    wv[q0:q1] = jnp.zeros(
+                        (q1 - q0,) + win.shape[2:], jnp.float32
+                    )
+
     @pl.when(it == 0)
     def _warm():
-        for c in parts(i, j, slot):
-            c.start()
+        start_all(i, j, slot)
 
     nxt = it + 1
 
     @pl.when(nxt < ni * nj)
     def _prefetch():
-        for c in parts(nxt // nj, jax.lax.rem(nxt, nj), 1 - slot):
-            c.start()
+        start_all(nxt // nj, jax.lax.rem(nxt, nj), 1 - slot)
 
-    for c in parts(i, j, slot):
-        c.wait()
+    for gi, (q0, q1, bit) in enumerate(ranges):
+        cs = group_parts(i, j, slot, gi)
+        if bit is None:
+            for c in cs:
+                c.wait()
+            continue
+        on = jax.lax.shift_right_logical(gmask[i, j], bit) & 1
+
+        @pl.when(on == 1)
+        def _wait(cs=cs):
+            for c in cs:
+                c.wait()
     if density_only:
         winp = winp.at[slot]
     else:
@@ -150,8 +194,15 @@ def _kernel(
     def _empty():
         out_ref[...] = jnp.zeros((n_out, bx, by, z), jnp.float32)
 
-    @pl.when(has_particles)
-    def _accumulate():
+    # slot-group occupancy gating: compute runs per GROUP of 4 slots, skipped
+    # entirely (one cheap reduce) when no particle occupies the group anywhere
+    # in the window. Packs fill the lowest empty slots first, so typical flows
+    # (~2-3 particles/cell vs capacity 16) leave the upper groups empty almost
+    # everywhere — this is where P2G's VPU time goes (PERF.md round 3).
+    k_slots = winp.shape[0]
+    _GSZ = 4
+
+    def _accumulate_group(g0, g1):
         acc = [jnp.zeros((bx, by, z), jnp.float32) for _ in range(n_out)]
 
         offsets = (
@@ -163,7 +214,9 @@ def _kernel(
             ox, oy, oz = off
 
             def slabify(win, o=off):
-                s = win[:, :, 1 + o[0] : 1 + o[0] + bx, _YH + o[1] : _YH + o[1] + by, :]
+                s = win[
+                    g0:g1, :, 1 + o[0] : 1 + o[0] + bx, _YH + o[1] : _YH + o[1] + by, :
+                ]
                 if o[2] != 0:
                     # read[z] = value[z+oz]; the wrap-around rows fail the bin
                     # check below, so a cyclic lane roll is safe (VPU-cheap).
@@ -244,7 +297,23 @@ def _kernel(
                 acc[-1] = acc[-1] + jnp.sum(prim, axis=0)
 
         for q in range(n_out):
-            out_ref[q] = acc[q]
+            out_ref[q] = out_ref[q] + acc[q]
+
+    @pl.when(has_particles)
+    def _accumulate():
+        for q in range(n_out):
+            out_ref[q] = jnp.zeros((bx, by, z), jnp.float32)
+        for g0 in range(0, k_slots, _GSZ):
+            g1 = min(g0 + _GSZ, k_slots)
+            vg = (
+                has_particles
+                if g0 == 0 and g1 >= k_slots
+                else jnp.any(winp[g0:g1, 3] > 0.5)
+            )
+
+            @pl.when(vg)
+            def _group(g0=g0, g1=g1):
+                _accumulate_group(g0, g1)
 
 
 @functools.partial(
@@ -271,29 +340,37 @@ def p2g_accumulate(
     n_out = 2 if density_only else (7 if velocity_only else 8)
     grid = (x // bx, y // by)
     with_xs = x_start is not None
+    from .pallas_rebin import block_group_mask, cell_group_any, group_ranges
+
+    nranges = len(group_ranges(k))
+    with_gmask = nranges > 1
     kernel = functools.partial(
         _kernel, bx=bx, by=by, X=x, Y=y, z=zp,
         density_only=density_only, velocity_only=velocity_only,
-        with_xs=with_xs,
+        with_xs=with_xs, with_gmask=with_gmask,
     )
     win_shape = (2, k, NUM_POSQ, bx + 2, by + 2 * _YH, zp)
     scratch = [pltpu.VMEM(win_shape, jnp.float32)]
     in_specs = []
     inputs = []
+    if with_gmask:
+        # occupancy-gated window DMA (pallas_rebin.block_group_mask)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(block_group_mask(cell_group_any(posq), bx, by, 1, _YH))
     if with_xs:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(jnp.reshape(jnp.asarray(x_start, jnp.int32), (1,)))
     in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     inputs.append(posq)
-    nsem = 9
+    nsrcs = 1
     if not density_only:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         inputs.append(dyn)
         scratch.append(
             pltpu.VMEM((2, k, NUM_DYN, bx + 2, by + 2 * _YH, zp), jnp.float32)
         )
-        nsem = 18
-    scratch.append(pltpu.SemaphoreType.DMA((2, nsem)))
+        nsrcs = 2
+    scratch.append(pltpu.SemaphoreType.DMA((2, 9 * nsrcs * nranges)))
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -49,6 +49,20 @@ A whole-stage lax.cond skip on per-axis mover flags was tried and REMOVED:
 on the benched flows (dam break, CFL-substepped) some particle always moves
 along every axis, so the mover scan + cond boundaries cost ~3 ms/step and
 never paid off; per-BLOCK early-exit already covers calm regions.
+
+Occupancy-gated slot transport (round 3): table kernels' cost scales with
+the SLOT dimension (measured ~linear: K=8 copy-through 3.5 ms vs K=16
+6.2 ms at dam scale), but typical occupancy is ~2-3 particles/cell against
+capacity 16 — and the packs fill the LOWEST empty slots first, so the upper
+slots are empty almost everywhere. Slot groups of 4 above _G0=8 are
+therefore gated per block: a tiny XLA pass (cell_group_any +
+block_group_mask, ~0.1 ms) derives an i32 bitmask per kernel block, rides in
+SMEM, and groups without any valid particle in the block's window skip BOTH
+their window DMA (zero-fill instead — bit-identical, empty slots hold exact
+zeros by pack construction) and their per-slot payload compute (the
+stayer-select loop here; the G2P/RK4 group loop in pallas_advect; the
+accumulation group loop in pallas_p2g). Shared by pallas_advect (table
+windows) and pallas_p2g via group_ranges/_window_parts(q0, q1).
 """
 
 from __future__ import annotations
@@ -182,26 +196,53 @@ def _pack_core(
                 return winp[k], wind[k]
             return winp[k][(slice(None),) + sl], wind[k][(slice(None),) + sl]
 
-        # --- offset 0: stayers keep their slots; build the empty-slot ranks
+        # --- offset 0: stayers keep their slots; build the empty-slot ranks.
+        # Flag math and the rank chain run unconditionally (they feed every
+        # later offset's assignment), but the 10-channel payload stores are
+        # occupancy-gated per 4-slot group: packs fill lowest slots first, so
+        # upper groups have no stayers almost everywhere (PERF.md round 3)
         f0, sl0 = slab_flags(0)
         empties = []
         eranks = []  # inclusive prefix count of empty slots, per cell
         ecount = jnp.zeros((bx, by, Zp), jnp.int32)
         for q in range(k_out):
             if q < k_in:
+                eq = jnp.logical_not(f0[q])
+            else:
+                eq = jnp.ones((bx, by, Zp), jnp.bool_)
+            ecount = ecount + eq.astype(jnp.int32)
+            empties.append(eq)
+            eranks.append(ecount)
+
+        def _zero_slots(qs):
+            for q in qs:
+                write_p(q, jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32))
+                write_d(q, jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32))
+
+        def _stay_slots(qs):
+            for q in qs:
                 sq = f0[q]
                 pay_p, pay_d = payloads(q, 0, sl0)
                 # select is pure data movement — bit-exact for both arrays
                 write_p(q, jnp.where(sq[None], pay_p, 0.0))
                 write_d(q, jnp.where(sq[None], pay_d, 0.0))
-                eq = jnp.logical_not(sq)
-            else:
-                write_p(q, jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32))
-                write_d(q, jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32))
-                eq = jnp.ones((bx, by, Zp), jnp.bool_)
-            ecount = ecount + eq.astype(jnp.int32)
-            empties.append(eq)
-            eranks.append(ecount)
+
+        for g0 in range(0, k_out, 4):
+            g1 = min(g0 + 4, k_out)
+            if g0 >= k_in:
+                _zero_slots(range(g0, g1))  # shrunk-away slots: statically empty
+                continue
+            gin = min(g1, k_in)
+            vg = jnp.any(f0[g0:gin])
+
+            @pl.when(vg)
+            def _stay(g0=g0, g1=g1, gin=gin):
+                _stay_slots(range(g0, gin))
+                _zero_slots(range(gin, g1))
+
+            @pl.when(jnp.logical_not(vg))
+            def _nostay(g0=g0, g1=g1):
+                _zero_slots(range(g0, g1))
 
         # scalar plausibility bounds per 4-slot group (erank is monotone in q)
         gq0s = list(range(0, k_out, 4))
@@ -287,28 +328,79 @@ def _ref_writers(outp_ref, outd_ref):
     return write_p, write_d, read_out_d
 
 
-def _window_parts(hbm, win, sems, sem0, axis, i, j, slot, *, s, bx, by, X, Y):
+_G0 = 8   # first occupancy-gated slot (packs fill lowest slots first)
+_GSZ = 4  # gated slot-group size
+
+
+def group_ranges(k_in: int):
+    """Slot ranges [(q0, q1, bit)] for gated window DMA: slots [0, _G0) ride
+    ungated (bit None); each 4-slot group above has a gate bit in the
+    per-block mask (see block_group_mask)."""
+    out = [(0, min(_G0, k_in), None)]
+    for b, q0 in enumerate(range(_G0, k_in, _GSZ)):
+        out.append((q0, min(q0 + _GSZ, k_in), b))
+    return out
+
+
+def cell_group_any(posq) -> jax.Array:
+    """bool[ngroups, X, Y]: does slot group g hold any valid particle in cell
+    column (x, y)? One cheap read of the upper slots' valid channel; feeds
+    block_group_mask for each consumer's block geometry."""
+    k = posq.shape[0]
+    if k <= _G0:
+        return jnp.zeros((0,) + posq.shape[2:4], jnp.bool_)
+    groups = [
+        jnp.any(posq[q0:q1, CH_VALID] > 0.5, axis=(0, 3))
+        for q0, q1, _ in group_ranges(k)[1:]
+    ]
+    return jnp.stack(groups)
+
+
+def block_group_mask(cell_any, bx, by, sx, sy) -> jax.Array:
+    """i32[ni, nj] bitmask from cell_group_any: bit g set when group g has any
+    particle in the (bx + 2*sx, by + 2*sy) window of block (i, j). Windows are
+    CLAMPED at edges (the kernels' clamped halo parts re-read in-bounds rows),
+    so zero padding is exact."""
+    ng, X, Y = cell_any.shape
+    if ng == 0:
+        return jnp.zeros((X // bx, Y // by), jnp.int32)
+    a = cell_any.astype(jnp.int32)
+    w = jax.lax.reduce_window(
+        a, 0, jax.lax.max,
+        window_dimensions=(1, bx + 2 * sx, by + 2 * sy),
+        window_strides=(1, bx, by),
+        padding=((0, 0), (sx, sx), (sy, sy)),
+    )  # [ng, ni, nj]
+    bits = w << jnp.arange(ng, dtype=jnp.int32)[:, None, None]
+    return jnp.sum(bits, axis=0).astype(jnp.int32)
+
+
+def _window_parts(
+    hbm, win, sems, sem0, axis, i, j, slot, *, s, bx, by, X, Y, q0=0, q1=None,
+):
     """3-part haloed window DMA along `axis` (0 or 1) into window buffer
     `slot` (the windows are double-buffered: block n+1's window streams in
     while block n computes — the rebin floor in calm flow is copy-through
-    DMA, so overlapping it with compute is the whole ballgame)."""
+    DMA, so overlapping it with compute is the whole ballgame). q0/q1
+    restrict the copied slot range (occupancy-gated groups)."""
+    qs = pl.ds(q0, (q1 if q1 is not None else hbm.shape[0]) - q0)
     if axis == 0:
         a0 = jnp.clip(i * bx - s, 0, X - s)
         c0 = jnp.clip(i * bx + bx, 0, X - s)
         return [
             pltpu.make_async_copy(
-                hbm.at[:, :, pl.ds(a0, s), pl.ds(j * by, by), :],
-                win.at[slot, :, :, pl.ds(0, s)],
+                hbm.at[qs, :, pl.ds(a0, s), pl.ds(j * by, by), :],
+                win.at[slot, qs, :, pl.ds(0, s)],
                 sems.at[slot, sem0],
             ),
             pltpu.make_async_copy(
-                hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
-                win.at[slot, :, :, pl.ds(s, bx)],
+                hbm.at[qs, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
+                win.at[slot, qs, :, pl.ds(s, bx)],
                 sems.at[slot, sem0 + 1],
             ),
             pltpu.make_async_copy(
-                hbm.at[:, :, pl.ds(c0, s), pl.ds(j * by, by), :],
-                win.at[slot, :, :, pl.ds(s + bx, s)],
+                hbm.at[qs, :, pl.ds(c0, s), pl.ds(j * by, by), :],
+                win.at[slot, qs, :, pl.ds(s + bx, s)],
                 sems.at[slot, sem0 + 2],
             ),
         ]
@@ -316,59 +408,104 @@ def _window_parts(hbm, win, sems, sem0, axis, i, j, slot, *, s, bx, by, X, Y):
     c0 = jnp.clip(j * by + by, 0, Y - _YH)
     return [
         pltpu.make_async_copy(
-            hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(a0, _YH), :],
-            win.at[slot, :, :, :, pl.ds(0, _YH)],
+            hbm.at[qs, :, pl.ds(i * bx, bx), pl.ds(a0, _YH), :],
+            win.at[slot, qs, :, :, pl.ds(0, _YH)],
             sems.at[slot, sem0],
         ),
         pltpu.make_async_copy(
-            hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
-            win.at[slot, :, :, :, pl.ds(_YH, by)],
+            hbm.at[qs, :, pl.ds(i * bx, bx), pl.ds(j * by, by), :],
+            win.at[slot, qs, :, :, pl.ds(_YH, by)],
             sems.at[slot, sem0 + 1],
         ),
         pltpu.make_async_copy(
-            hbm.at[:, :, pl.ds(i * bx, bx), pl.ds(c0, _YH), :],
-            win.at[slot, :, :, :, pl.ds(_YH + by, _YH)],
+            hbm.at[qs, :, pl.ds(i * bx, bx), pl.ds(c0, _YH), :],
+            win.at[slot, qs, :, :, pl.ds(_YH + by, _YH)],
             sems.at[slot, sem0 + 2],
         ),
     ]
 
 
-def _pipelined_window(posq_hbm, dyn_hbm, winp, wind, sems, axis, *, s, bx, by, X, Y):
+def _pipelined_window(
+    posq_hbm, dyn_hbm, winp, wind, sems, axis, *, s, bx, by, X, Y, gmask=None,
+):
     """Double-buffered window acquisition for the current grid step.
 
     Starts block 0's window on the first step, prefetches the NEXT block's
     window into the other buffer, then waits for the current block's window.
     Returns (winp_view, wind_view) ref views for the current block. Grid
     iteration order is row-major with the last grid axis fastest, so the
-    linear step index is i * nj + j."""
+    linear step index is i * nj + j.
+
+    ``gmask`` (SMEM i32[ni, nj] ref, see block_group_mask): occupancy-gated
+    slot transport — slot groups above _G0 with no valid particle anywhere in
+    the block's window skip their DMA entirely and zero-fill their window
+    region instead (bit-identical bytes: packs write exact zeros to empty
+    slots). Packs fill lowest slots first, so in typical flows most of the
+    table's upper slots never move through HBM (PERF.md round 3)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     ni = pl.num_programs(0)
     nj = pl.num_programs(1)
     it = i * nj + j
     slot = jax.lax.rem(it, 2)
+    k_in = winp.shape[1]
+    ranges = group_ranges(k_in) if gmask is not None else [(0, k_in, None)]
 
-    def parts(ii, jj, sl):
+    def group_copies(ii, jj, sl, gi):
+        q0, q1, _ = ranges[gi]
+        kw = dict(s=s, bx=bx, by=by, X=X, Y=Y, q0=q0, q1=q1)
         return _window_parts(
-            posq_hbm, winp, sems, 0, axis, ii, jj, sl, s=s, bx=bx, by=by, X=X, Y=Y
-        ) + _window_parts(
-            dyn_hbm, wind, sems, 3, axis, ii, jj, sl, s=s, bx=bx, by=by, X=X, Y=Y
-        )
+            posq_hbm, winp, sems, 6 * gi, axis, ii, jj, sl, **kw
+        ) + _window_parts(dyn_hbm, wind, sems, 6 * gi + 3, axis, ii, jj, sl, **kw)
+
+    def start_all(ii, jj, sl):
+        for gi, (q0, q1, bit) in enumerate(ranges):
+            cs = group_copies(ii, jj, sl, gi)
+            if bit is None:
+                for c in cs:
+                    c.start()
+                continue
+            on = jax.lax.shift_right_logical(gmask[ii, jj], bit) & 1
+
+            @pl.when(on == 1)
+            def _start(cs=cs):
+                for c in cs:
+                    c.start()
+
+            @pl.when(on == 0)
+            def _zero(q0=q0, q1=q1, sl=sl):
+                wp = winp.at[sl]
+                wd = wind.at[sl]
+                wp[q0:q1] = jnp.zeros(
+                    (q1 - q0,) + winp.shape[2:], jnp.float32
+                )
+                wd[q0:q1] = jnp.zeros(
+                    (q1 - q0,) + wind.shape[2:], jnp.float32
+                )
 
     @pl.when(it == 0)
     def _warm():
-        for c in parts(i, j, slot):
-            c.start()
+        start_all(i, j, slot)
 
     nxt = it + 1
 
     @pl.when(nxt < ni * nj)
     def _prefetch():
-        for c in parts(nxt // nj, jax.lax.rem(nxt, nj), 1 - slot):
-            c.start()
+        start_all(nxt // nj, jax.lax.rem(nxt, nj), 1 - slot)
 
-    for c in parts(i, j, slot):
-        c.wait()
+    for gi, (q0, q1, bit) in enumerate(ranges):
+        cs = group_copies(i, j, slot, gi)
+        if bit is None:
+            for c in cs:
+                c.wait()
+            continue
+        on = jax.lax.shift_right_logical(gmask[i, j], bit) & 1
+
+        @pl.when(on == 1)
+        def _wait(cs=cs):
+            for c in cs:
+                c.wait()
+
     return winp.at[slot], wind.at[slot]
 
 
@@ -423,16 +560,21 @@ def _stage_x_kernel(
 
 
 def _stage_yz_kernel(
-    posq_hbm, dyn_hbm, outp_ref, outd_ref, cnt_ref, winp, wind, midp, midd, sems,
-    *, s, k_in, k_mid, k_out, bx, by, X, Y, Zp, dim_y, dim_z,
+    *refs, s, k_in, k_mid, k_out, bx, by, X, Y, Zp, dim_y, dim_z, with_gmask,
 ):
     """Fused y-then-z pack: window -> mid scratch (y) -> out (z). The z pack
     reads the VMEM scratch, so the z stage's table-sized HBM roundtrip
     disappears."""
+    gmask = None
+    if with_gmask:
+        gmask, *refs = refs
+    (posq_hbm, dyn_hbm, outp_ref, outd_ref, cnt_ref,
+     winp, wind, midp, midd, sems) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     winp_v, wind_v = _pipelined_window(
-        posq_hbm, dyn_hbm, winp, wind, sems, 1, s=s, bx=bx, by=by, X=X, Y=Y
+        posq_hbm, dyn_hbm, winp, wind, sems, 1, s=s, bx=bx, by=by, X=X, Y=Y,
+        gmask=gmask,
     )
 
     mw_p, mw_d, m_read = _ref_writers(midp, midd)
@@ -529,18 +671,29 @@ def _rebin_stage_yz(
     k_in, chp, X, Y, Zp = posq.shape
     assert chp == NUM_POSQ
     assert X % bx == 0 and Y % by == 0 and by % 8 == 0 and s <= _YH
+    nranges = len(group_ranges(k_in))
+    with_gmask = nranges > 1
     kern = functools.partial(
         _stage_yz_kernel,
         s=s, k_in=k_in, k_mid=k_mid, k_out=k_out,
         bx=bx, by=by, X=X, Y=Y, Zp=Zp, dim_y=dim_y, dim_z=dim_z,
+        with_gmask=with_gmask,
     )
+    inputs = [posq, dyn]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    if with_gmask:
+        # occupancy-gated window DMA: per-block slot-group mask (module
+        # docstring; bit-identical output — empty slots are exact zeros)
+        gmask = block_group_mask(cell_group_any(posq), bx, by, 0, _YH)
+        inputs = [gmask] + inputs
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
     return pl.pallas_call(
         kern,
         grid=(X // bx, Y // by),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (k_out, NUM_POSQ, bx, by, Zp), lambda i, j: (0, 0, i, j, 0),
@@ -562,13 +715,13 @@ def _rebin_stage_yz(
             pltpu.VMEM((2, k_in, NUM_DYN, bx, by + 2 * _YH, Zp), jnp.float32),
             pltpu.VMEM((k_mid, NUM_POSQ, bx, by, Zp), jnp.float32),
             pltpu.VMEM((k_mid, NUM_DYN, bx, by, Zp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.SemaphoreType.DMA((2, 6 * nranges)),
         ],
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(posq, dyn)
+    )(*inputs)
 
 
 def _pick_blocks_x(k_in, k_out, X, Y, s, Zp, budget):
