@@ -37,13 +37,16 @@ finite positions), the bf16-packed dyn channels move as select + integer OR
 (their f32 bit patterns are not arithmetic values — a pair with hi == 0.0
 reads as an f32 DENORMAL and the VPU flushes those on add).
 
-Windowing: resident arrays are unpadded in x/y. Each block DMAs its window in
-three statically-placed parts per haloed axis (lead halo | core | trail halo),
-with edge parts clamped into bounds; a per-row "expected coordinate" mask
-(actual == expected) kills the clamped duplicate rows exactly, so no spatial
-padding and no dynamic sublane slicing is ever needed. Requirements:
-bx | X with bx >= max_shift, Y % 8 == 0, and the halo part size (8) on y
-covers max_shift <= 8.
+Windowing: resident arrays are unpadded in x/y. A haloed window is always
+three statically-placed parts per haloed axis (lead halo | core | trail
+halo), with edge parts clamped into bounds; a per-row "expected coordinate"
+mask (actual == expected) kills the clamped duplicate rows exactly, so no
+spatial padding and no dynamic sublane slicing is ever needed. The x stage
+acquires its window via manual double-buffered DMA (_pipelined_window); the
+yz stage gets the three parts as AUTO-pipelined blocked inputs and assembles
+them in VMEM (_stage_yz_kernel docstring) — measured ~1.5x faster window
+throughput (PERF.md round 3). Requirements: bx | X with bx >= max_shift,
+Y % 8 == 0, and the halo part size (8) on y covers max_shift <= 8.
 
 A whole-stage lax.cond skip on per-axis mover flags was tried and REMOVED:
 on the benched flows (dam break, CFL-substepped) some particle always moves
@@ -560,22 +563,36 @@ def _stage_x_kernel(
 
 
 def _stage_yz_kernel(
-    *refs, s, k_in, k_mid, k_out, bx, by, X, Y, Zp, dim_y, dim_z, with_gmask,
+    *refs, s, k_in, k_mid, k_out, bx, by, X, Y, Zp, dim_y, dim_z,
 ):
     """Fused y-then-z pack: window -> mid scratch (y) -> out (z). The z pack
     reads the VMEM scratch, so the z stage's table-sized HBM roundtrip
-    disappears."""
-    gmask = None
-    if with_gmask:
-        gmask, *refs = refs
-    (posq_hbm, dyn_hbm, outp_ref, outd_ref, cnt_ref,
-     winp, wind, midp, midd, sems) = refs
+    disappears.
+
+    Window acquisition is AUTO-pipelined (round 3): the y-haloed window
+    arrives as three blocked inputs — an 8-row lead-halo block, the core
+    block, an 8-row trail-halo block, with edge blocks clamped into range by
+    the index maps and the clamped duplicate rows masked by _rowok exactly as
+    the manual path masked its clamped DMA parts. The blocks are assembled
+    into one contiguous VMEM window scratch (VMEM copies measured ~free,
+    scripts/tpu_bench_yz_floor.py 'copy' < 'dma_only') and the pack runs
+    unchanged. Rationale: the manual double-buffered window DMA ran at
+    ~130-200 GB/s effective while Pallas' own input pipeline reaches the
+    platform's table-shape ceiling (~220-250 GB/s measured,
+    scripts/tpu_bench_copy_bw.py) — and occupancy-gating the window DMA
+    measured ZERO gain at dam scale (dma_only == dma_only!g), so nothing is
+    lost by fetching all slots."""
+    (corep, cored, leadp, leadd, trailp, traild,
+     outp_ref, outd_ref, cnt_ref, winp, wind, midp, midd) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
-    winp_v, wind_v = _pipelined_window(
-        posq_hbm, dyn_hbm, winp, wind, sems, 1, s=s, bx=bx, by=by, X=X, Y=Y,
-        gmask=gmask,
-    )
+    winp[:, :, :, 0:_YH] = leadp[...]
+    winp[:, :, :, _YH:_YH + by] = corep[...]
+    winp[:, :, :, _YH + by:] = trailp[...]
+    wind[:, :, :, 0:_YH] = leadd[...]
+    wind[:, :, :, _YH:_YH + by] = cored[...]
+    wind[:, :, :, _YH + by:] = traild[...]
+    winp_v, wind_v = winp, wind
 
     mw_p, mw_d, m_read = _ref_writers(midp, midd)
     _pack_core(
@@ -671,25 +688,28 @@ def _rebin_stage_yz(
     k_in, chp, X, Y, Zp = posq.shape
     assert chp == NUM_POSQ
     assert X % bx == 0 and Y % by == 0 and by % 8 == 0 and s <= _YH
-    nranges = len(group_ranges(k_in))
-    with_gmask = nranges > 1
     kern = functools.partial(
         _stage_yz_kernel,
         s=s, k_in=k_in, k_mid=k_mid, k_out=k_out,
         bx=bx, by=by, X=X, Y=Y, Zp=Zp, dim_y=dim_y, dim_z=dim_z,
-        with_gmask=with_gmask,
     )
-    inputs = [posq, dyn]
+    # the same table rides in three times: core block + clamped 8-row lead
+    # and trail y-halo blocks (kernel docstring). Index maps clamp exactly
+    # like _rowok expects: lead rows start at max(j*by-8, 0), trail rows at
+    # min(j*by+by, Y-8).
+    nb = by // 8
+    nbY = Y // 8
+    lead = lambda i, j: (0, 0, i, jnp.maximum(j * nb - 1, 0), 0)
+    trail = lambda i, j: (0, 0, i, jnp.minimum(j * nb + nb, nbY - 1), 0)
+    inputs = [posq, dyn, posq, dyn, posq, dyn]
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((k_in, NUM_POSQ, bx, by, Zp), lambda i, j: (0, 0, i, j, 0)),
+        pl.BlockSpec((k_in, NUM_DYN, bx, by, Zp), lambda i, j: (0, 0, i, j, 0)),
+        pl.BlockSpec((k_in, NUM_POSQ, bx, _YH, Zp), lead),
+        pl.BlockSpec((k_in, NUM_DYN, bx, _YH, Zp), lead),
+        pl.BlockSpec((k_in, NUM_POSQ, bx, _YH, Zp), trail),
+        pl.BlockSpec((k_in, NUM_DYN, bx, _YH, Zp), trail),
     ]
-    if with_gmask:
-        # occupancy-gated window DMA: per-block slot-group mask (module
-        # docstring; bit-identical output — empty slots are exact zeros)
-        gmask = block_group_mask(cell_group_any(posq), bx, by, 0, _YH)
-        inputs = [gmask] + inputs
-        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
     return pl.pallas_call(
         kern,
         grid=(X // bx, Y // by),
@@ -711,11 +731,10 @@ def _rebin_stage_yz(
             jax.ShapeDtypeStruct((8 * (X // bx), 128 * (Y // by)), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, k_in, NUM_POSQ, bx, by + 2 * _YH, Zp), jnp.float32),
-            pltpu.VMEM((2, k_in, NUM_DYN, bx, by + 2 * _YH, Zp), jnp.float32),
+            pltpu.VMEM((k_in, NUM_POSQ, bx, by + 2 * _YH, Zp), jnp.float32),
+            pltpu.VMEM((k_in, NUM_DYN, bx, by + 2 * _YH, Zp), jnp.float32),
             pltpu.VMEM((k_mid, NUM_POSQ, bx, by, Zp), jnp.float32),
             pltpu.VMEM((k_mid, NUM_DYN, bx, by, Zp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 6 * nranges)),
         ],
         compiler_params=None
         if interpret
@@ -737,24 +756,27 @@ def _pick_blocks_x(k_in, k_out, X, Y, s, Zp, budget):
 
 
 def _pick_blocks_yz(k_in, k_mid, k_out, X, Y, s, Zp, budget):
-    """Window (x2 buffers) + mid scratch + out must fit; wide by keeps the
-    y-halo read amplification down ((by+16)/by)."""
+    """VMEM accounting for the auto-pipelined yz stage: Pallas double-buffers
+    the core+lead+trail input blocks (~2x one haloed window) and the output
+    blocks (2x out), plus the assembled window scratch and the mid scratch.
+    Wide by keeps the y-halo read amplification down ((by+16)/by)."""
     for by in (32, 16, 8):
         if Y % by:
             continue
         for bx in (8, 4, 2, 1):
             if X % bx:
                 continue
-            win = 2 * k_in * _NCH * bx * (by + 2 * _YH) * Zp * 4
+            win = 3 * k_in * _NCH * bx * (by + 2 * _YH) * Zp * 4
             mid = k_mid * _NCH * bx * by * Zp * 4
-            out = k_out * _NCH * bx * by * Zp * 4
+            out = 2 * k_out * _NCH * bx * by * Zp * 4
             if win + mid + out <= budget:
                 return bx, by
     return None
 
 
-_BUDGET = 38 << 20  # 2x window + mid + out blocks; Mosaic pack temporaries
-                    # ride on top within the 100MB vmem limit
+_BUDGET = 38 << 20     # x stage: 2x window + mid + out; Mosaic pack
+                       # temporaries ride on top within the 100MB vmem limit
+_BUDGET_YZ = 60 << 20  # yz stage (auto-pipelined window accounting)
 
 
 def supports(grid_dim, capacity: int, max_shift: int) -> bool:
@@ -767,7 +789,7 @@ def supports(grid_dim, capacity: int, max_shift: int) -> bool:
     kk = capacity + 4
     if _pick_blocks_x(capacity, kk, X, Y, max_shift, zp, _BUDGET) is None:
         return False
-    return _pick_blocks_yz(kk, kk, capacity, X, Y, max_shift, zp, _BUDGET) is not None
+    return _pick_blocks_yz(kk, kk, capacity, X, Y, max_shift, zp, _BUDGET_YZ) is not None
 
 
 _SLACK_BYTE_BUDGET = 2 << 30  # per-stage buffer size above which slack drops
@@ -828,7 +850,7 @@ def rebin_yz_slot_major(
     accounting from the yz kernel's survivor-count by-product."""
     X, Y, Z = grid_dim
     k_mid = posq.shape[0]
-    blocks = _pick_blocks_yz(k_mid, k_mid, k_out, X, Y, max_shift, posq.shape[4], _BUDGET)
+    blocks = _pick_blocks_yz(k_mid, k_mid, k_out, X, Y, max_shift, posq.shape[4], _BUDGET_YZ)
     assert blocks is not None, "caller must gate on supports()"
     bx, by = blocks
     posq, dyn, cnt = _rebin_stage_yz(

@@ -353,7 +353,7 @@ def rebin_sharded(
         k, k_mid, xpad, y, s, zp, pallas_rebin._BUDGET
     )
     byz = pallas_rebin._pick_blocks_yz(
-        k_mid, k_mid, k, xl, y, s, zp, pallas_rebin._BUDGET
+        k_mid, k_mid, k, xl, y, s, zp, pallas_rebin._BUDGET_YZ
     )
     assert byz is not None
     bxz, byzv = byz
@@ -496,7 +496,7 @@ def rebin_yz_sharded(
     n, ax = ctx.n, ctx.axis
     xl = x // n
     blocks = pallas_rebin._pick_blocks_yz(
-        k_mid, k_mid, k_out, xl, y, max_shift, zp, pallas_rebin._BUDGET
+        k_mid, k_mid, k_out, xl, y, max_shift, zp, pallas_rebin._BUDGET_YZ
     )
     assert blocks is not None
     bx, by = blocks
@@ -539,7 +539,7 @@ def sharded_sm_supports(grid_dim, capacity: int, n: int) -> bool:
     ) is None:
         return False
     return pallas_rebin._pick_blocks_yz(
-        kk, kk, capacity, xl, y, ADVECT_SHIFT, zp, pallas_rebin._BUDGET
+        kk, kk, capacity, xl, y, ADVECT_SHIFT, zp, pallas_rebin._BUDGET_YZ
     ) is not None
 
 

@@ -53,7 +53,7 @@ dyn0 = jnp.concatenate(
 k_in, _, X, Y, Zp = posq0.shape
 s = 2
 k_out = K
-bx, by = R._pick_blocks_yz(k_in, k_in, k_out, X, Y, s, Zp, R._BUDGET)
+bx, by = R._pick_blocks_yz(k_in, k_in, k_out, X, Y, s, Zp, R._BUDGET_YZ)
 print(f"grid={G} K={K} particles={pos.shape[0]} blocks=({bx},{by})", flush=True)
 
 
