@@ -165,6 +165,16 @@ def _pack_core(
         if x_off is not None:
             gout = gout + x_off
 
+        # z pack: one "move tag" per slot (target - source z; sentinel where
+        # invalid) folds valid+target into a single array, so each offset's
+        # arrival flags cost ONE lane-roll + compare instead of two rolls +
+        # two compares (rebin compute rides a ~4 ms memory floor, PERF.md —
+        # every rolled vreg on the 128-lane axis counts). Integer-valued f32
+        # compares are exact; the sentinel never equals a real offset.
+        tag = None
+        if axis == 2:
+            tag = jnp.where(wvalid, wtarget - gout[None], 1e6)
+
         def slab_flags(off):
             if axis == 0:
                 sl = (slice(s + off, s + off + bx), slice(None), slice(None))
@@ -181,12 +191,10 @@ def _pack_core(
                 return jnp.roll(a, -o, axis=-1) if o else a
 
             lane_ok = (riota + off >= 0) & (riota + off < Zp)
-            # roll the f32 valid channel: Mosaic can't roll i1 vregs
-            f = (
-                (_zroll(winp[:, CH_VALID]) > 0.5)
-                & lane_ok[None]
-                & (_zroll(wtarget) == gout[None])
-            )
+            # arrival at z from source z+off: the source's tag is
+            # target - (z + off) = -off (roll the f32 tag: Mosaic can't
+            # roll i1 vregs)
+            f = (_zroll(tag) == float(-off)) & lane_ok[None]
             return f, None
 
         def payloads(k, off, sl):
@@ -792,16 +800,21 @@ def supports(grid_dim, capacity: int, max_shift: int) -> bool:
     return _pick_blocks_yz(kk, kk, capacity, X, Y, max_shift, zp, _BUDGET_YZ) is not None
 
 
-_SLACK_BYTE_BUDGET = 2 << 30  # per-stage buffer size above which slack drops
+_SLACK_BYTE_BUDGET = 256 << 20  # per-stage buffer size above which slack drops
 
 
 def default_slack(table_nbytes: int, capacity: int) -> int:
-    """Stage-buffer slot slack: 4 normally; 2 when the table is so large that
-    K+4 stage buffers would crowd HBM (two stage buffers are live at once —
-    at 256x128x128/K=16 that was the difference between fitting in 16 GB or
-    not, PERF.md round-2). Slack only covers TRANSIENT mid-pack overcrowding
+    """Stage-buffer slot slack: 4 for small (test-scale) tables; 2 at
+    production scale. Slack only covers TRANSIENT mid-pack overcrowding
     (particles funneled into a cell-column before the later axes spread them),
-    so 2 costs little: measured dam-scale loss is unchanged."""
+    so 2 costs little: measured dam-scale loss is unchanged (round 3:
+    lost_pct identical at slack 2 vs 4), and every slot sliced off k_mid cuts
+    ~5% off the four table-sweeping kernels' traffic AND their per-slot pack
+    loops (the sweeps price ~linearly in the slot dim, PERF.md). Originally
+    the drop to 2 was HBM-pressure-driven (two K+slack stage buffers live at
+    once nearly overflowed 16 GB at 256x128x128/K=16, PERF.md round-2); now
+    it is also the measured-cheaper default wherever the flow statistics
+    match (any production-scale table)."""
     per_slot = table_nbytes // max(capacity, 1)
     return 2 if (capacity + 4) * per_slot > _SLACK_BYTE_BUDGET else 4
 
