@@ -12,4 +12,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize (/root/.axon_site, via PYTHONPATH) imports jax at
+# interpreter startup, so jax snapshots JAX_PLATFORMS=axon BEFORE this file's
+# env assignment runs — with only the assignment above, pytest silently runs
+# on the real TPU. config.update still works (backends initialize lazily, on
+# first jax.devices()), so force the platform through the config API too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
