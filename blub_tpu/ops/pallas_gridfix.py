@@ -227,7 +227,7 @@ def _call(
         _kernel, mode=mode, with_solids=with_solids,
         bx=bx, by=by, X=X, Y=Y, Z=Z, Zp=Zp, dt_is_input=(mode == "change"),
     )
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_spec = pl.BlockSpec(
         (bx, by, Zp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )

@@ -360,11 +360,11 @@ def p2g_accumulate(
     if with_xs:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(jnp.reshape(jnp.asarray(x_start, jnp.int32), (1,)))
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     inputs.append(posq)
     nsrcs = 1
     if not density_only:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         inputs.append(dyn)
         scratch.append(
             pltpu.VMEM((2, k, NUM_DYN, bx + 2, by + 2 * _YH, zp), jnp.float32)

@@ -233,7 +233,7 @@ def _k1_call(beta, z, s, diag, *, bx: int, interpret: bool):
     X, Y, Zp = z.shape
     nb = X // bx
     kern = functools.partial(_k1_kernel, bx=bx, X=X, Y=Y, Zp=Zp)
-    anys = pl.BlockSpec(memory_space=pltpu.ANY)
+    anys = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         kern,
         grid=(nb,),
@@ -262,7 +262,7 @@ def _k2_call(alpha, p, snew, r, As, fi, *, bx: int, interpret: bool):
     X, Y, Zp = p.shape
     nb = X // bx
     kern = functools.partial(_k2_kernel, bx=bx, X=X, Y=Y, Zp=Zp)
-    anys = pl.BlockSpec(memory_space=pltpu.ANY)
+    anys = pl.BlockSpec(memory_space=pl.ANY)
     core = _core_spec(bx, Y, Zp)
     return pl.pallas_call(
         kern,
