@@ -396,3 +396,120 @@ def test_ssf_filters_jax_match_numpy():
     np.testing.assert_allclose(
         thickness_filter(thick), thickness_filter_np(thick), rtol=2e-5, atol=1e-5
     )
+
+
+def test_png_decode_all_filters():
+    """decode_png vs an independent encode-side filtering implementation
+    (the spec's forward direction): every filter type 0-4, RGB and RGBA."""
+    import struct
+    import zlib
+
+    from blub_tpu.render.png import _chunk, decode_png
+
+    rng = np.random.default_rng(3)
+    for nch, color in ((3, 2), (4, 6)):
+        img = rng.integers(0, 256, (10, 7, nch), dtype=np.uint8)
+        h, w, _ = img.shape
+        stride = w * nch
+        raw = bytearray()
+        prev = np.zeros(stride, np.int32)
+        for y in range(h):
+            cur = img[y].reshape(-1).astype(np.int32)
+            ftype = y % 5
+            raw.append(ftype)
+            if ftype == 0:
+                enc = cur
+            elif ftype == 1:
+                a = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+                enc = (cur - a) & 0xFF
+            elif ftype == 2:
+                enc = (cur - prev) & 0xFF
+            elif ftype == 3:
+                a = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+                enc = (cur - ((a + prev) >> 1)) & 0xFF
+            else:  # Paeth
+                a = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+                c = np.concatenate([np.zeros(nch, np.int32), prev[:-nch]])
+                p = a + prev - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c)
+                )
+                enc = (cur - pred) & 0xFF
+            raw += enc.astype(np.uint8).tobytes()
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        out = decode_png(png)
+        assert out is not None and np.array_equal(out, img), (nch, color)
+
+
+def test_load_texture_png(tmp_path):
+    """core/models._load_texture decodes a real PNG diffuse map (VERDICT r3
+    missing #3) and falls back to the checker on garbage."""
+    from blub_tpu.core.models import _load_texture, checker_texture
+    from blub_tpu.render.png import encode_png
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (9, 6, 3), dtype=np.uint8)
+    p = tmp_path / "tex.png"
+    p.write_bytes(encode_png(img))
+    tex = _load_texture(p, (1.0, 0.5, 0.25))
+    np.testing.assert_allclose(tex, img.astype(np.float32) / 255.0, atol=1e-6)
+
+    q = tmp_path / "junk.png"
+    q.write_bytes(b"\x89PNG\r\n\x1a\nnot really")
+    fb = _load_texture(q, (1.0, 0.5, 0.25))
+    np.testing.assert_allclose(fb, checker_texture((1.0, 0.5, 0.25)))
+
+
+def test_device_fluid_pass_matches_numpy():
+    """The one-dispatch device SSF pass (render/device_ssf.py) vs the numpy
+    oracle sequence (splat -> narrow-range -> thickness -> gaussian ->
+    compose). Splat min and the filters are bit-equal algorithms; the
+    thickness scatter-ADD accumulation order differs between np.add.at and
+    the XLA scatter, so the comparison carries float tolerance through the
+    compose nonlinearities."""
+    pos = _cloud(1500, seed=5)
+    kw = dict(
+        width=96, height=64, fluid_mode=FluidRenderingMode.SCREEN_SPACE_FLUID,
+        show_bounds_box=False,
+    )
+    r_np = SceneRenderer(G, RenderSettings(device_fluid_pass=False, **kw))
+    r_dev = SceneRenderer(G, RenderSettings(device_fluid_pass=True, **kw))
+    img_np = r_np.draw(pos).astype(np.int32)
+    img_dev = r_dev.draw(pos).astype(np.int32)
+    # tonemapped uint8: allow 2 LSB for scatter-order float drift
+    assert np.abs(img_np - img_dev).max() <= 2
+    assert (np.abs(img_np - img_dev) > 0).mean() < 0.05  # and only sparsely
+
+
+def test_device_splat_depth_bit_equal():
+    """The device z-buffer splat alone is BIT-equal to the numpy splat (min
+    is order-independent), including sphere depth offsets and screen edges."""
+    import jax.numpy as jnp
+
+    from blub_tpu.render.device_ssf import _splat_depth
+    from blub_tpu.render.renderer import _FAR
+
+    pos = _cloud(800, seed=6)
+    r = SceneRenderer(G, RenderSettings(width=80, height=60))
+    w, h = 80, 60
+    ref, _ = r._splat(pos, r.particle_radius)
+
+    px, py, z, valid = r.camera.project(pos, w, h)
+    f = r.camera.focal_px(h)
+    r_px = np.clip(f * r.particle_radius / np.maximum(z, 1e-3), 0.6, 8.0)
+    got = np.asarray(
+        _splat_depth(
+            jnp.asarray(px), jnp.asarray(py), jnp.asarray(z),
+            jnp.asarray(r_px), jnp.asarray(valid & (r.particle_radius > 1e-6)),
+            w, h, jnp.float32(f),
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
