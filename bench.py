@@ -23,6 +23,10 @@ Env knobs: BLUB_BENCH_GRID=x,y,z  BLUB_BENCH_STEPS=N  BLUB_BENCH_CAPACITY=K
            BLUB_BENCH_BATCH=B (frames per dispatch)  BLUB_BENCH_RAW=1
            (legacy raw fixed-dt single-step loop, no substepping)
            BLUB_BENCH_NO_HIGHRES=1 (skip the highres sub-benchmark)
+           BLUB_BENCH_MESH=N (run the mesh-sharded production path,
+           parallel/sharded_sm.py, over the first N visible devices — real
+           scaling numbers need a pod slice; N=1 measures the sharded code
+           path's overhead on the single chip)
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ import time
 import numpy as np
 
 
-def run_config(grid, n_steps, capacity, batch, cfl, raw):
+def run_config(grid, n_steps, capacity, batch, cfl, raw, mesh_n=0):
     import jax
 
     from blub_tpu.core.seeding import add_fluid_cube
@@ -57,9 +61,49 @@ def run_config(grid, n_steps, capacity, batch, cfl, raw):
     perm = choose_perm(grid)
     params = permute_params(params, perm)
     pos = permute_positions(pos, perm)
-    state = make_dense_state(params, pos, capacity=capacity)
+    state = make_dense_state(
+        params, pos, capacity=capacity, layout="sm" if mesh_n else None
+    )
 
-    if raw:
+    if mesh_n:
+        import jax.numpy as jnp
+
+        from blub_tpu.parallel import sharded_sm as ss
+
+        devs = jax.devices()
+        assert len(devs) >= mesh_n, (len(devs), mesh_n)
+        ctx = ss.ShardCtx(jax.sharding.Mesh(np.asarray(devs[:mesh_n]), ("x",)))
+        assert ss.sharded_sm_supports(params.grid_dim, capacity, mesh_n)
+        state = ss.shard_sm_state(ctx, state)
+
+        def _frames(s):
+            def body(_, carry):
+                st, acc = carry
+                st, n = ss.frame_dense_sharded(
+                    params, ctx, st, cfl_target=cfl, max_substeps=4
+                )
+                return st, acc + n
+
+            return jax.lax.fori_loop(0, batch, body, (s, jnp.int32(0)))
+
+        frames_fn = jax.jit(_frames, donate_argnums=(0,))
+        n_batches = max(1, n_steps // batch)
+        t0 = time.time()
+        state, nsub = frames_fn(state)
+        _sync(state)
+        compile_s = time.time() - t0
+        state, nsub = frames_fn(state)
+        _sync(state)
+        nsubs = []
+        t0 = time.time()
+        for _ in range(n_batches):
+            state, nsub = frames_fn(state)
+            nsubs.append(nsub)
+        _sync(state)
+        wall = time.time() - t0
+        frames = n_batches * batch
+        substeps = int(np.sum([np.asarray(jax.device_get(n)) for n in nsubs]))
+    elif raw:
         step = make_jitted_dense_step(params, donate=True)
         t0 = time.time()
         state = step(state)
@@ -130,10 +174,13 @@ def main() -> None:
     batch = int(os.environ.get("BLUB_BENCH_BATCH", "16"))
     cfl = float(os.environ.get("BLUB_BENCH_CFL", "1.9"))
     raw = bool(os.environ.get("BLUB_BENCH_RAW"))
+    mesh_n = int(os.environ.get("BLUB_BENCH_MESH", "0"))
 
-    result = run_config(grid, n_steps, capacity, batch, cfl, raw)
+    result = run_config(grid, n_steps, capacity, batch, cfl, raw, mesh_n=mesh_n)
+    if mesh_n:
+        result["mesh_devices"] = mesh_n
 
-    custom = "BLUB_BENCH_GRID" in os.environ or raw
+    custom = "BLUB_BENCH_GRID" in os.environ or raw or mesh_n
     if not custom and not os.environ.get("BLUB_BENCH_NO_HIGHRES"):
         try:
             hr = run_config((256, 128, 128), 16, capacity, 16, min(cfl, 1.5), raw=False)

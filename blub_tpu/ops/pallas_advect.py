@@ -606,7 +606,7 @@ def _advect_call(
         (k, NUM_DYN, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
         memory_space=pltpu.VMEM,
     )
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), posq_spec, any_spec, any_spec, any_spec]
     inputs = [dt_arr, posq, v0, v1, v2]
     scratch = [
@@ -656,7 +656,7 @@ def _correct_call(posq, c0, c1, c2, marker_f, *, grid_dim, bx, by, interpret,
         (k, NUM_POSQ, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
         memory_space=pltpu.VMEM,
     )
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [_grid_window_scratch(bx, by, zp, 1) for _ in range(4)]
     scratch.append(pltpu.SemaphoreType.DMA((36,)))
     in_specs = [posq_spec] + [any_spec] * 4
@@ -967,7 +967,7 @@ def _advect_pack_call(
         memory_space=pltpu.VMEM,
     )
     ms_spec = pl.BlockSpec((8, 128), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), any_spec, any_spec, any_spec, any_spec]
     inputs = [dt_arr, posq, v0, v1, v2]
     if with_gmask:
@@ -1093,7 +1093,7 @@ def _correct_pack_call(
         (k_out, NUM_DYN, bx, by, zp), lambda i, j: (0, 0, i, j, 0),
         memory_space=pltpu.VMEM,
     )
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
         pltpu.VMEM((2, k, NUM_POSQ, bxe, by, zp), jnp.float32),
         pltpu.VMEM((2, k, NUM_DYN, bxe, by, zp), jnp.float32),

@@ -110,6 +110,8 @@ def _pack_core(
     riota,
     gout_base,
     x_off=None,
+    a0=None,
+    core_ok=None,
 ):
     """One axis-split pack from VMEM window refs into per-slot writers.
 
@@ -121,7 +123,28 @@ def _pack_core(
     along the pack axis. ``x_off`` (axis 0 only, traced f32): global cell
     coordinate of array column 0 — set when the arrays are a shard's
     halo-extended local window (parallel/sharded_sm.py) so the array-frame
-    coordinates below compare correctly against the GLOBAL positions."""
+    coordinates below compare correctly against the GLOBAL positions.
+
+    ``a0``: start of the pack core along the pack axis within the window
+    (default: s for axis 0, _YH for axis 1 — the standalone stage layouts).
+    The pack-on-read consumers (ops/pallas_packread.py) pack EXTENDED regions
+    (e.g. core±1 for a gather) whose start differs.
+
+    ``core_ok``: optional bool mask over the pack region marking cells whose
+    window rows are real (not clamped duplicates). Standalone stages never
+    need it (their region is the real core), but an extended pack region can
+    include masked rows (e.g. the y = -1 row of an edge block, or clamped
+    duplicate x columns of a 9-part window): the PACK path already writes
+    empty cells there (rowok excludes their candidates), but the block-level
+    copy-through fast path must select them to zero explicitly.
+
+    ``wind=None`` transports positions only (write_d/read_out_d unused): the
+    pack DECISIONS (stay flags, empty ranks, overflow victims) are a pure
+    function of posq, so a posq-only pack is bit-identical in posq to the
+    two-array pack (used by the density pack-on-read, which reads no
+    velocities)."""
+    if a0 is None:
+        a0 = s if axis == 0 else _YH
     wvalid = winp[:, CH_VALID] > 0.5
     wtarget = _target(winp[:, axis], dim_a)
     actual_f = None
@@ -151,11 +174,19 @@ def _pack_core(
     def _copy_through():
         for q in range(k_out):
             if q < k_in:
-                write_p(q, winp[q][(slice(None),) + core])
-                write_d(q, wind[q][(slice(None),) + core])
+                pp = winp[q][(slice(None),) + core]
+                if core_ok is not None:
+                    pp = jnp.where(core_ok[None], pp, 0.0)
+                write_p(q, pp)
+                if wind is not None:
+                    dd = wind[q][(slice(None),) + core]
+                    if core_ok is not None:
+                        dd = jnp.where(core_ok[None], dd, 0.0)
+                    write_d(q, dd)
             else:
                 write_p(q, jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32))
-                write_d(q, jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32))
+                if wind is not None:
+                    write_d(q, jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32))
 
     @pl.when(needs)
     def _pack():
@@ -177,9 +208,9 @@ def _pack_core(
 
         def slab_flags(off):
             if axis == 0:
-                sl = (slice(s + off, s + off + bx), slice(None), slice(None))
+                sl = (slice(a0 + off, a0 + off + bx), slice(None), slice(None))
             elif axis == 1:
-                sl = (slice(None), slice(_YH + off, _YH + off + by), slice(None))
+                sl = (slice(None), slice(a0 + off, a0 + off + by), slice(None))
             if axis != 2:
                 f = wvalid[(slice(None),) + sl]
                 if rowok_b is not None:
@@ -201,11 +232,14 @@ def _pack_core(
             if axis == 2 and off:
                 return (
                     jnp.roll(winp[k], -off, axis=-1),
-                    jnp.roll(wind[k], -off, axis=-1),
+                    jnp.roll(wind[k], -off, axis=-1) if wind is not None else None,
                 )
             if axis == 2:
-                return winp[k], wind[k]
-            return winp[k][(slice(None),) + sl], wind[k][(slice(None),) + sl]
+                return winp[k], (wind[k] if wind is not None else None)
+            return (
+                winp[k][(slice(None),) + sl],
+                wind[k][(slice(None),) + sl] if wind is not None else None,
+            )
 
         # --- offset 0: stayers keep their slots; build the empty-slot ranks.
         # Flag math and the rank chain run unconditionally (they feed every
@@ -228,7 +262,8 @@ def _pack_core(
         def _zero_slots(qs):
             for q in qs:
                 write_p(q, jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32))
-                write_d(q, jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32))
+                if wind is not None:
+                    write_d(q, jnp.zeros((NUM_DYN, bx, by, Zp), jnp.float32))
 
         def _stay_slots(qs):
             for q in qs:
@@ -236,7 +271,8 @@ def _pack_core(
                 pay_p, pay_d = payloads(q, 0, sl0)
                 # select is pure data movement — bit-exact for both arrays
                 write_p(q, jnp.where(sq[None], pay_p, 0.0))
-                write_d(q, jnp.where(sq[None], pay_d, 0.0))
+                if wind is not None:
+                    write_d(q, jnp.where(sq[None], pay_d, 0.0))
 
         for g0 in range(0, k_out, 4):
             g1 = min(g0 + 4, k_out)
@@ -268,7 +304,11 @@ def _pack_core(
             Mosaic compile time explode)."""
             rlo = jnp.min(jnp.where(fk, rk, k_out)) + 1
             rhi = jnp.max(jnp.where(fk, rk, -1)) + 1
-            pay_i = jax.lax.bitcast_convert_type(pay_d, jnp.int32)
+            pay_i = (
+                jax.lax.bitcast_convert_type(pay_d, jnp.int32)
+                if pay_d is not None
+                else None
+            )
             for gi, q0 in enumerate(gq0s):
                 glo, ghi = gbounds[gi]
 
@@ -278,6 +318,8 @@ def _pack_core(
                         hit = fk & empties[q] & (eranks[q] == rk + 1)
                         m = hit.astype(jnp.float32)[None]
                         write_p(q, None, add=m * pay_p)
+                        if pay_i is None:
+                            continue
                         cur = jax.lax.bitcast_convert_type(
                             read_out_d(q), jnp.int32
                         )
@@ -649,8 +691,8 @@ def _rebin_stage_x(
         with_xs=with_xs,
     )
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [posq, dyn]
     if with_xs:
@@ -815,7 +857,18 @@ def default_slack(table_nbytes: int, capacity: int) -> int:
     once nearly overflowed 16 GB at 256x128x128/K=16, PERF.md round-2); now
     it is also the measured-cheaper default wherever the flow statistics
     match (any production-scale table)."""
+    import os
+
+    env = os.environ.get("BLUB_REBIN_SLACK")
+    if env:
+        return int(env)
     per_slot = table_nbytes // max(capacity, 1)
+    # ADVICE r3: loss-neutrality of slack 2 was measured at the dam config
+    # (lost_pct 0.048 -> 0.049); callers with unusually crowd-heavy flows in
+    # the 256 MiB..2 GiB table band should pass slack=4 explicitly via the
+    # ``slack`` parameter of rebin_slot_major (bench.py surfaces lost_pct so
+    # a regression is visible per run; BLUB_REBIN_SLACK overrides globally
+    # for experiments).
     return 2 if (capacity + 4) * per_slot > _SLACK_BYTE_BUDGET else 4
 
 

@@ -33,9 +33,8 @@ from ..sim.axis_layout import (
 )
 from ..sim.step_dense import (
     DenseFluidState,
-    frame_dense,
+    frame_dense_fn,
     make_dense_state,
-    step_dense,
 )
 from ..sim.voxelize import rotating_flags, solid_params_at, voxelize_step
 
@@ -47,7 +46,16 @@ class Scene:
         settings: SimSettings | None = None,
         capacity: int = 16,
         models_dir: pathlib.Path | None = None,
+        mesh=None,
     ):
+        """``mesh``: run the simulation spatially sharded over a device mesh
+        (parallel/sharded_sm.py): a jax.sharding.Mesh, or an int n to build a
+        1D mesh over the first n visible devices. The sharded step shares the
+        single-chip step definition (sim/step_dense._step_core) and keeps
+        on-device CFL control (frame_dense_sharded_fn). Raises ValueError if
+        the scene's internal grid doesn't decompose over the mesh. No
+        reference analog (single-GPU); this is the rebuild's own scaling axis
+        (SURVEY.md §2.8, VERDICT r3 missing #2)."""
         self.config = config if isinstance(config, SceneConfig) else load_scene(config)
         self.settings = settings or SimSettings()
         self.capacity = capacity
@@ -81,12 +89,41 @@ class Scene:
         self.params_external = ext_params
         self.params = permute_params(ext_params, self.perm)
         self._initial_pos = permute_positions(pos, self.perm)
-        self.state: DenseFluidState = make_dense_state(self.params, self._initial_pos, capacity)
+        self._shard_ctx = None
+        if mesh is not None:
+            from ..parallel.sharded_sm import ShardCtx, sharded_sm_supports
+
+            if isinstance(mesh, int):
+                devs = jax.devices()
+                if len(devs) < mesh:
+                    raise ValueError(
+                        f"mesh={mesh} devices requested, {len(devs)} visible"
+                    )
+                mesh = jax.sharding.Mesh(np.asarray(devs[:mesh]), ("x",))
+            ctx = ShardCtx(mesh)
+            if not sharded_sm_supports(self.params.grid_dim, capacity, ctx.n):
+                raise ValueError(
+                    f"internal grid {self.params.grid_dim} / capacity "
+                    f"{capacity} does not decompose over {ctx.n} devices "
+                    "(X must split into >= halo-width local shards)"
+                )
+            self._shard_ctx = ctx
+        self.state: DenseFluidState = self._make_state(capacity)
         self.total_simulated_time = 0.0
         self._jitted_cache: dict = {}
         # non-blocking solver_stats: last completed snapshot + in-flight copies
         self._stats_cache: dict = self._stats_dict([0.0, 0, 0.0, 0, 0])
         self._stats_pending = None
+
+    def _make_state(self, capacity: int) -> DenseFluidState:
+        if self._shard_ctx is not None:
+            from ..parallel.sharded_sm import shard_sm_state
+
+            state = make_dense_state(
+                self.params, self._initial_pos, capacity, layout="sm"
+            )
+            return shard_sm_state(self._shard_ctx, state)
+        return make_dense_state(self.params, self._initial_pos, capacity)
 
     def _get_frame(self):
         """Jitted one-frame function: CFL substep count decided ON DEVICE from
@@ -104,38 +141,43 @@ class Scene:
         grid_dim = self.grid_dim_external
         perm = self.perm
         pad_los = tuple(self._pad_los)
+        ctx = self._shard_ctx
+        if ctx is not None:
+            from ..parallel.sharded_sm import frame_dense_sharded_fn
+
+            def run_frame(state, solids_fn):
+                return frame_dense_sharded_fn(
+                    params, ctx, state, solids_fn, cfl, maxn
+                )[0]
+        else:
+
+            def run_frame(state, solids_fn):
+                return frame_dense_fn(params, state, solids_fn, cfl, maxn)[0]
+
         if self.solid_objects:
             rot_flags = rotating_flags(self.solid_objects)
 
             def _frame(state, sdfs, shifts_all, vts_all, oms_all, cts_all, qs_all, o0s_all):
                 # *_all: [maxn, maxn, n_obj, ...] — entry [n-1, s] holds the
                 # solid animation params for substep s of an n-way split.
-                dt = params.dt
-                if cfl > 0 and maxn > 1:
-                    n_sub = jnp.clip(
-                        jnp.ceil(state.max_speed * dt / cfl).astype(jnp.int32), 1, maxn
-                    )
-                else:
-                    n_sub = jnp.int32(1)
-                sub_dt = dt / n_sub.astype(jnp.float32)
-
-                def body(i, s):
+                # frame_dense_fn re-voxelizes at each substep's own time and
+                # keeps the pack-on-read substep chain (sim/step_dense.py).
+                def solids_fn(i, n_sub):
                     solids = voxelize_step(
                         sdfs, pad_los, shifts_all[n_sub - 1, i], vts_all[n_sub - 1, i],
                         oms_all[n_sub - 1, i], cts_all[n_sub - 1, i], grid_dim,
                         rot_q=qs_all[n_sub - 1, i], origins0=o0s_all[n_sub - 1, i],
                         rotating=rot_flags,
                     )
-                    return step_dense(params, s, permute_solids(solids, perm), dt=sub_dt)
+                    return permute_solids(solids, perm)
 
-                return jax.lax.fori_loop(0, n_sub, body, state)
+                return run_frame(state, solids_fn)
 
             fn = jax.jit(_frame, donate_argnums=(0,))
         else:
 
             def _frame(state):
-                out, _ = frame_dense(params, state, None, cfl, maxn)
-                return out
+                return run_frame(state, lambda i, n: None)
 
             fn = jax.jit(_frame, donate_argnums=(0,))
         self._jitted_cache["frame"] = fn
@@ -190,7 +232,7 @@ class Scene:
 
     def reset(self) -> None:
         """Rebuild the fluid from the scene config (Scene::reset)."""
-        self.state = make_dense_state(self.params, self._initial_pos, self.capacity)
+        self.state = self._make_state(self.capacity)
         self.total_simulated_time = 0.0
 
     def update_settings(self, settings: SimSettings) -> None:
