@@ -170,7 +170,13 @@ def main() -> None:
     # 128x64x64 grid, ~1M particles; scenes/dam_halfhalf.json).
     grid = tuple(int(v) for v in os.environ.get("BLUB_BENCH_GRID", "128,64,64").split(","))
     n_steps = int(os.environ.get("BLUB_BENCH_STEPS", "32"))
-    capacity = int(os.environ.get("BLUB_BENCH_CAPACITY", "16"))
+    # capacity 14 (was 16): every table sweep prices ~linearly in the slot
+    # dim, and the round-4 capacity sweep measured 21.13 -> 23.65 steps/s at
+    # dam scale with cumulative loss 0.317% — inside the <0.5% budget the
+    # honest path is held to (PERF.md round 4). K=12 is past the knee
+    # (30.2 steps/s but 5.8% loss). The reference's linked lists have no
+    # per-cell bound, so K is this rebuild's own accuracy/speed knob.
+    capacity = int(os.environ.get("BLUB_BENCH_CAPACITY", "14"))
     batch = int(os.environ.get("BLUB_BENCH_BATCH", "16"))
     cfl = float(os.environ.get("BLUB_BENCH_CFL", "1.9"))
     raw = bool(os.environ.get("BLUB_BENCH_RAW"))

@@ -240,6 +240,22 @@ def cmd_profile(args) -> int:
     for _ in range(3):  # settle into a typical flow regime (and compile)
         scene.step()
 
+    if args.solver_history:
+        # per-iteration PCG convergence on the CURRENT flow state — the
+        # analog of the reference's per-iteration profiler scopes +
+        # error/iteration plots (pressure_solver.rs:655-723, gui/mod.rs:
+        # 177-210; VERDICT r3 missing #4). Runs one velocity + one density
+        # solve with history via the XLA solver (the whole-VMEM/blocked
+        # kernels expose final stats only).
+        import numpy as np
+
+        for name, hist in _solver_histories(scene):
+            it = int(np.sum(np.isfinite(hist)))
+            print(f"{name}: {it} iterations")
+            for i in range(it):
+                print(f"  it {i:2d}  max|r|*dt = {hist[i]:.3e}")
+        return 0
+
     if args.trace_phases:
         # per-phase device time of the REAL fused frame program, from XLA
         # profiler traces + jax.named_scope tags (runtime/profiler.py;
@@ -270,6 +286,56 @@ def cmd_profile(args) -> int:
     path = timer.write_chrometrace(args.trace_out)
     print(f"chrometrace: {path}", file=sys.stderr)
     return 0
+
+
+def _solver_histories(scene):
+    """(name, per-iteration error history) for a velocity and a density PCG
+    solve on the scene's CURRENT state, via the XLA solver with history.
+    Deviation: the density solve here uses pre-advect positions (replicating
+    the in-step density solve exactly would require running half a substep);
+    it still measures real convergence behavior on the live flow."""
+    import jax
+    import numpy as np
+
+    from .sim.axis_layout import permute_solids
+    from .sim.dense_transfer import (
+        density_rhs_from_raw,
+        marker_from_table,
+        p2g_density_dense,
+        p2g_velocity_dense,
+    )
+    from .sim.divergence import compute_divergence_rhs
+    from .sim.pressure import solve_pressure
+    from .sim.slot_major import SlotMajorTable, to_table
+
+    params = scene.params
+    dt = params.dt
+    solids = scene.current_solids()
+    solids = permute_solids(solids, scene.perm) if solids is not None else None
+    occupancy = solids.occupancy if solids is not None else None
+    solid_vel = solids.velocity if solids is not None else None
+    t = scene.state.table
+    t = to_table(t) if isinstance(t, SlotMajorTable) else t
+
+    @jax.jit
+    def run(t, p_vel, p_den):
+        marker = marker_from_table(t, occupancy)
+        vel = p2g_velocity_dense(t, marker, params.gravity_grid, dt)
+        rhs = compute_divergence_rhs(vel, marker, solid_vel)
+        res_v = solve_pressure(
+            p_vel, rhs, marker, params.solver_vel, dt, with_history=True
+        )
+        den_rhs = density_rhs_from_raw(p2g_density_dense(t), marker, dt)
+        res_d = solve_pressure(
+            p_den, den_rhs, marker, params.solver_den, dt, with_history=True
+        )
+        return res_v.history, res_d.history
+
+    hv, hd = run(t, scene.state.pressure_vel, scene.state.pressure_den)
+    return [
+        ("velocity solve", np.asarray(jax.device_get(hv))),
+        ("density solve (pre-advect positions)", np.asarray(jax.device_get(hd))),
+    ]
 
 
 def main(argv=None) -> int:
@@ -335,6 +401,12 @@ def main(argv=None) -> int:
         "--trace-phases", action="store_true",
         help="attribute device time per phase from an XLA profiler trace of "
         "the fused frame program (no per-phase dispatch overhead)",
+    )
+    sp.add_argument(
+        "--solver-history", action="store_true",
+        help="print per-iteration PCG residuals for one velocity + one "
+        "density solve on the current flow (the reference's per-iteration "
+        "solver plots)",
     )
     sp.set_defaults(fn=cmd_profile)
 

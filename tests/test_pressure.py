@@ -145,3 +145,35 @@ def test_empty_fluid_no_nans():
         jnp.zeros((8, 8, 8), jnp.float32), jnp.zeros((8, 8, 8), jnp.float32), marker, cfg, DT
     )
     assert np.isfinite(np.asarray(res.pressure)).all()
+
+
+def test_solve_history_records_per_iteration_error():
+    """with_history=True records max|r|*dt at every iteration (the
+    reference's per-iteration solver plots, pressure_solver.rs:655-723):
+    finite and eventually-decreasing up to stats.iterations, +inf past the
+    exit, final entry == stats.error, and the pressure/stats identical to a
+    history-free solve."""
+    marker = _make_marker((12, 12, 12), ((2, 10), (2, 7), (2, 10)))
+    rng = np.random.default_rng(3)
+    rhs = jnp.asarray(
+        rng.standard_normal((12, 12, 12)).astype(np.float32)
+    ) * (marker == CELL_FLUID)
+    cfg = SolverConfig(error_tolerance=1e-4, max_num_iterations=32,
+                       error_check_frequency=1)
+    p0 = jnp.zeros((12, 12, 12), jnp.float32)
+    res = solve_pressure(p0, rhs, marker, cfg, DT, with_history=True)
+    ref = solve_pressure(p0, rhs, marker, cfg, DT)
+    # same math, but the extra history carry may let XLA schedule float ops
+    # differently — compare to tight tolerance, not bitwise
+    np.testing.assert_allclose(
+        np.asarray(res.pressure), np.asarray(ref.pressure), rtol=1e-5, atol=1e-7
+    )
+    assert int(res.stats.iterations) == int(ref.stats.iterations)
+
+    hist = np.asarray(res.history)
+    it = int(res.stats.iterations)
+    assert hist.shape == (32,)
+    assert np.isfinite(hist[:it]).all()
+    assert np.isinf(hist[it:]).all()
+    np.testing.assert_allclose(hist[it - 1], float(res.stats.error), rtol=1e-6)
+    assert hist[it - 1] < hist[0]  # it converged, so the residual fell

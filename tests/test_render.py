@@ -475,7 +475,7 @@ def test_device_fluid_pass_matches_numpy():
     thickness scatter-ADD accumulation order differs between np.add.at and
     the XLA scatter, so the comparison carries float tolerance through the
     compose nonlinearities."""
-    pos = _cloud(1500, seed=5)
+    pos, _ = _cloud(1500, seed=5)
     kw = dict(
         width=96, height=64, fluid_mode=FluidRenderingMode.SCREEN_SPACE_FLUID,
         show_bounds_box=False,
@@ -484,9 +484,13 @@ def test_device_fluid_pass_matches_numpy():
     r_dev = SceneRenderer(G, RenderSettings(device_fluid_pass=True, **kw))
     img_np = r_np.draw(pos).astype(np.int32)
     img_dev = r_dev.draw(pos).astype(np.int32)
-    # tonemapped uint8: allow 2 LSB for scatter-order float drift
-    assert np.abs(img_np - img_dev).max() <= 2
-    assert (np.abs(img_np - img_dev) > 0).mean() < 0.05  # and only sparsely
+    # tonemapped uint8: thickness scatter-order drift propagates through the
+    # compose exponentials (and can flip a refraction gather pixel), so allow
+    # a few LSB on a sparse set (measured: max 3, 0.25% of pixels differ)
+    d = np.abs(img_np - img_dev)
+    assert d.max() <= 8
+    assert (d > 0).mean() < 0.02
+    assert np.percentile(d, 99) == 0
 
 
 def test_device_splat_depth_bit_equal():
@@ -497,7 +501,7 @@ def test_device_splat_depth_bit_equal():
     from blub_tpu.render.device_ssf import _splat_depth
     from blub_tpu.render.renderer import _FAR
 
-    pos = _cloud(800, seed=6)
+    pos, _ = _cloud(800, seed=6)
     r = SceneRenderer(G, RenderSettings(width=80, height=60))
     w, h = 80, 60
     ref, _ = r._splat(pos, r.particle_radius)

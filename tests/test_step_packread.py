@@ -47,6 +47,14 @@ def _state(pos, max_speed=0.0):
     )
 
 
+def _assert_packread_supported(params):
+    os.environ["BLUB_ENABLE_PACKREAD"] = "1"
+    try:
+        assert _packread_kmid(params, K) is not None
+    finally:
+        del os.environ["BLUB_ENABLE_PACKREAD"]
+
+
 def _run_both(fn):
     """fn(state) unfused (the default), then with pack-on-read force-enabled
     (the path is DEFAULT OFF — measured slower at dam scale, see
@@ -81,7 +89,7 @@ def _assert_state_equal(ref, got):
 
 def test_packread_step_bit_exact():
     pos, params = _params()
-    assert _packread_kmid(params, K) is not None
+    _assert_packread_supported(params)
 
     ref, got = _run_both(lambda: step_dense(params, _state(pos)))
     _assert_state_equal(ref, got)
@@ -92,6 +100,7 @@ def test_packread_frame_multi_substep_bit_exact():
     (fused P2G) and finalizes once; the unfused path re-bins twice per
     substep. Same frame result, bit for bit."""
     pos, params = _params()
+    _assert_packread_supported(params)
     # a max_speed that forces 3 substeps at cfl_target 1.9 and dt 1/120
     ms = 3.0 * 1.9 * 120.0 * 0.99
 
