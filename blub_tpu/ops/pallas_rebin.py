@@ -298,12 +298,14 @@ def _pack_core(
             for q0 in gq0s
         ]
 
-        def assign(fk, rk, pay_p, pay_d):
+        def assign(fk, rk, pay_p, pay_d, rlo, rhi):
             """Route a mover candidate's arrivals to the (rk+1)-th empty slot
             per cell, scalar-gated per 4-slot group (per-q regions made
-            Mosaic compile time explode)."""
-            rlo = jnp.min(jnp.where(fk, rk, k_out)) + 1
-            rhi = jnp.max(jnp.where(fk, rk, -1)) + 1
+            Mosaic compile time explode). ``rlo``/``rhi`` bound the candidate's
+            possible landing ranks; conservative (wider) bounds are sound —
+            the per-cell ``hit`` test is exact — so callers hoist them per
+            OFFSET (round 4: the per-candidate min/max folds were a large
+            slice of the pack's serialized cross-lane-reduce latency)."""
             pay_i = (
                 jax.lax.bitcast_convert_type(pay_d, jnp.int32)
                 if pay_d is not None
@@ -339,30 +341,48 @@ def _pack_core(
 
             @pl.when(jnp.any(fk))
             def _tail(fk=fk, rk=rk, q=q):
+                # exact per-candidate bounds here: tail candidates are rare
+                # (at most k_in - k_out) and usually skipped entirely
+                rlo = jnp.min(jnp.where(fk, rk, k_out)) + 1
+                rhi = jnp.max(jnp.where(fk, rk, -1)) + 1
                 pay_p, pay_d = payloads(q, 0, sl0)
-                assign(fk, rk, pay_p, pay_d)
+                assign(fk, rk, pay_p, pay_d, rlo, rhi)
 
         for off in range(-s, s + 1):
             if off == 0:
                 continue
             f_all, sl = slab_flags(off)
-            # data-dependent skips: a whole offset (e.g. +-2 in near-settled
-            # flow) with no arrivals anywhere in the block costs one reduce
-            off_any = jnp.any(f_all)
+            # Scalar gating with THREE cross-lane folds for the whole offset
+            # (round 4; was ~2 + 3-per-candidate): hs tracks the highest
+            # arriving slot index + 1 per cell, so one max fold yields a
+            # sound tail-skip for every candidate slot (slot k runs iff some
+            # cell receives from a slot >= k — packs fill lowest slots first,
+            # so the skipped tail is exactly the empty upper slots), and the
+            # landing-rank bounds are hoisted per offset: every arrival rank
+            # lies in [min r_pre + 1, max r_post] (conservative, sound — the
+            # per-cell hit test in assign() is exact).
+            r_pre = r
+            hs = jnp.zeros((bx, by, Zp), jnp.int32)
             rks = []
             for k in range(k_in):
                 rks.append(r)
-                r = r + f_all[k].astype(jnp.int32)
+                fi = f_all[k].astype(jnp.int32)
+                r = r + fi
+                hs = jnp.maximum(hs, fi * (k + 1))
+            mhs = jnp.max(hs)
+            rlo_off = jnp.min(r_pre) + 1
+            rhi_off = jnp.max(r)
 
-            @pl.when(off_any)
-            def _accumulate(off=off, f_all=f_all, rks=rks, sl=sl):
+            @pl.when(mhs > 0)
+            def _accumulate(off=off, f_all=f_all, rks=rks, sl=sl, mhs=mhs,
+                            rlo_off=rlo_off, rhi_off=rhi_off):
                 for k in range(k_in):
                     fk = f_all[k]
 
-                    @pl.when(jnp.any(fk))
+                    @pl.when(mhs >= k + 1)
                     def _slot(fk=fk, rk=rks[k], k=k, off=off, sl=sl):
                         pay_p, pay_d = payloads(k, off, sl)
-                        assign(fk, rk, pay_p, pay_d)
+                        assign(fk, rk, pay_p, pay_d, rlo_off, rhi_off)
 
 
 def _ref_writers(outp_ref, outd_ref):
@@ -613,7 +633,7 @@ def _stage_x_kernel(
 
 
 def _stage_yz_kernel(
-    *refs, s, k_in, k_mid, k_out, bx, by, X, Y, Zp, dim_y, dim_z,
+    *refs, s, k_in, k_mid, k_out, bx, by, X, Y, Zp, dim_y, dim_z, with_halo,
 ):
     """Fused y-then-z pack: window -> mid scratch (y) -> out (z). The z pack
     reads the VMEM scratch, so the z stage's table-sized HBM roundtrip
@@ -631,17 +651,37 @@ def _stage_yz_kernel(
     platform's table-shape ceiling (~220-250 GB/s measured,
     scripts/tpu_bench_copy_bw.py) — and occupancy-gating the window DMA
     measured ZERO gain at dam scale (dma_only == dma_only!g), so nothing is
-    lost by fetching all slots."""
-    (corep, cored, leadp, leadd, trailp, traild,
-     outp_ref, outd_ref, cnt_ref, winp, wind, midp, midd) = refs
+    lost by fetching all slots.
+
+    ``with_halo=False`` (round 4): when by == Y there is exactly one y block
+    and the lead/trail halo blocks are CLAMPED DUPLICATES of core rows that
+    _rowok masks entirely (no particle targets outside [0, Y-1] — targets
+    are clipped) — so the halo inputs are dropped and their window rows
+    zero-filled instead (bit-identical: wvalid == 0 there kills every flag,
+    same as rowok did). This removes the (by + 16)/by window read
+    amplification outright: 1.5x -> 1.0x table bytes at dam scale."""
+    if with_halo:
+        (corep, cored, leadp, leadd, trailp, traild,
+         outp_ref, outd_ref, cnt_ref, winp, wind, midp, midd) = refs
+    else:
+        (corep, cored,
+         outp_ref, outd_ref, cnt_ref, winp, wind, midp, midd) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
-    winp[:, :, :, 0:_YH] = leadp[...]
+    if with_halo:
+        winp[:, :, :, 0:_YH] = leadp[...]
+        winp[:, :, :, _YH + by:] = trailp[...]
+        wind[:, :, :, 0:_YH] = leadd[...]
+        wind[:, :, :, _YH + by:] = traild[...]
+    else:
+        zp = jnp.zeros((k_in, NUM_POSQ, bx, _YH, Zp), jnp.float32)
+        zd = jnp.zeros((k_in, NUM_DYN, bx, _YH, Zp), jnp.float32)
+        winp[:, :, :, 0:_YH] = zp
+        winp[:, :, :, _YH + by:] = zp
+        wind[:, :, :, 0:_YH] = zd
+        wind[:, :, :, _YH + by:] = zd
     winp[:, :, :, _YH:_YH + by] = corep[...]
-    winp[:, :, :, _YH + by:] = trailp[...]
-    wind[:, :, :, 0:_YH] = leadd[...]
     wind[:, :, :, _YH:_YH + by] = cored[...]
-    wind[:, :, :, _YH + by:] = traild[...]
     winp_v, wind_v = winp, wind
 
     mw_p, mw_d, m_read = _ref_writers(midp, midd)
@@ -666,10 +706,14 @@ def _stage_yz_kernel(
     )
 
     # per-block surviving-particle count as a by-product (the lost counter
-    # needs one table-wide count per rebin; this removes the XLA sweep)
-    cnt = jnp.zeros((), jnp.float32)
-    for q in range(k_out):
-        cnt = cnt + jnp.sum(outp_ref[q, CH_VALID])
+    # needs one table-wide count per rebin; this removes the XLA sweep).
+    # Vector-accumulate the valid channels first so the cross-lane fold runs
+    # ONCE, not per slot (round 4: serialized folds were a measurable slice
+    # of the pack's latency)
+    vacc = outp_ref[0, CH_VALID]
+    for q in range(1, k_out):
+        vacc = vacc + outp_ref[q, CH_VALID]
+    cnt = jnp.sum(vacc)
     ii = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     cnt_ref[...] = jnp.where((ii == 0) & (jj == 0), cnt, 0.0)
@@ -738,28 +782,32 @@ def _rebin_stage_yz(
     k_in, chp, X, Y, Zp = posq.shape
     assert chp == NUM_POSQ
     assert X % bx == 0 and Y % by == 0 and by % 8 == 0 and s <= _YH
+    with_halo = by < Y  # by == Y: halo blocks are fully-masked duplicates
     kern = functools.partial(
         _stage_yz_kernel,
         s=s, k_in=k_in, k_mid=k_mid, k_out=k_out,
         bx=bx, by=by, X=X, Y=Y, Zp=Zp, dim_y=dim_y, dim_z=dim_z,
+        with_halo=with_halo,
     )
     # the same table rides in three times: core block + clamped 8-row lead
     # and trail y-halo blocks (kernel docstring). Index maps clamp exactly
     # like _rowok expects: lead rows start at max(j*by-8, 0), trail rows at
-    # min(j*by+by, Y-8).
+    # min(j*by+by, Y-8). With by == Y the halo inputs are dropped entirely
+    # (kernel docstring, with_halo=False).
     nb = by // 8
     nbY = Y // 8
     lead = lambda i, j: (0, 0, i, jnp.maximum(j * nb - 1, 0), 0)
     trail = lambda i, j: (0, 0, i, jnp.minimum(j * nb + nb, nbY - 1), 0)
-    inputs = [posq, dyn, posq, dyn, posq, dyn]
+    inputs = [posq, dyn] + ([posq, dyn, posq, dyn] if with_halo else [])
     in_specs = [
         pl.BlockSpec((k_in, NUM_POSQ, bx, by, Zp), lambda i, j: (0, 0, i, j, 0)),
         pl.BlockSpec((k_in, NUM_DYN, bx, by, Zp), lambda i, j: (0, 0, i, j, 0)),
+    ] + ([
         pl.BlockSpec((k_in, NUM_POSQ, bx, _YH, Zp), lead),
         pl.BlockSpec((k_in, NUM_DYN, bx, _YH, Zp), lead),
         pl.BlockSpec((k_in, NUM_POSQ, bx, _YH, Zp), trail),
         pl.BlockSpec((k_in, NUM_DYN, bx, _YH, Zp), trail),
-    ]
+    ] if with_halo else [])
     return pl.pallas_call(
         kern,
         grid=(X // bx, Y // by),
@@ -807,16 +855,20 @@ def _pick_blocks_x(k_in, k_out, X, Y, s, Zp, budget):
 
 def _pick_blocks_yz(k_in, k_mid, k_out, X, Y, s, Zp, budget):
     """VMEM accounting for the auto-pipelined yz stage: Pallas double-buffers
-    the core+lead+trail input blocks (~2x one haloed window) and the output
-    blocks (2x out), plus the assembled window scratch and the mid scratch.
-    Wide by keeps the y-halo read amplification down ((by+16)/by)."""
-    for by in (32, 16, 8):
-        if Y % by:
+    the input blocks (core + lead/trail halos, the latter dropped when
+    by == Y) and the output blocks (2x out), plus the assembled window
+    scratch and the mid scratch. Wide by keeps the y-halo read amplification
+    down ((by + 16)/by; exactly 1.0 at by == Y) — so candidates are tried
+    widest-first and by == Y is strictly preferred when it fits (round 4:
+    dam yz window bytes 1.5x -> 1.0x, highres 1.5x -> 1.25x)."""
+    for by in (Y, 64, 32, 16, 8):
+        if by > Y or Y % by:
             continue
+        halo = 0 if by == Y else 2 * _YH
         for bx in (8, 4, 2, 1):
             if X % bx:
                 continue
-            win = 3 * k_in * _NCH * bx * (by + 2 * _YH) * Zp * 4
+            win = k_in * _NCH * bx * (2 * (by + halo) + by + 2 * _YH) * Zp * 4
             mid = k_mid * _NCH * bx * by * Zp * 4
             out = 2 * k_out * _NCH * bx * by * Zp * 4
             if win + mid + out <= budget:
@@ -826,7 +878,10 @@ def _pick_blocks_yz(k_in, k_mid, k_out, X, Y, s, Zp, budget):
 
 _BUDGET = 38 << 20     # x stage: 2x window + mid + out; Mosaic pack
                        # temporaries ride on top within the 100MB vmem limit
-_BUDGET_YZ = 60 << 20  # yz stage (auto-pipelined window accounting)
+_BUDGET_YZ = 70 << 20  # yz stage (auto-pipelined window accounting; raised
+                       # 60 -> 70 MB in round 4 so highres lands on the
+                       # (1, 64) geometry — pack temps are a few MB and the
+                       # hard vmem_limit_bytes stays 100 MB)
 
 
 def supports(grid_dim, capacity: int, max_shift: int) -> bool:
