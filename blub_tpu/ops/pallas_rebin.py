@@ -352,37 +352,48 @@ def _pack_core(
             if off == 0:
                 continue
             f_all, sl = slab_flags(off)
-            # Scalar gating with THREE cross-lane folds for the whole offset
-            # (round 4; was ~2 + 3-per-candidate): hs tracks the highest
-            # arriving slot index + 1 per cell, so one max fold yields a
-            # sound tail-skip for every candidate slot (slot k runs iff some
-            # cell receives from a slot >= k — packs fill lowest slots first,
-            # so the skipped tail is exactly the empty upper slots), and the
-            # landing-rank bounds are hoisted per offset: every arrival rank
-            # lies in [min r_pre + 1, max r_post] (conservative, sound — the
-            # per-cell hit test in assign() is exact).
+            # data-dependent skips: a whole offset (e.g. +-2 in near-settled
+            # flow) with no arrivals anywhere in the block costs ONE fold —
+            # sparse-mover blocks must stay that cheap (round 4: hoisting the
+            # folds OUT of this gate pessimized low-CFL flows measurably).
+            off_any = jnp.any(f_all)
             r_pre = r
-            hs = jnp.zeros((bx, by, Zp), jnp.int32)
             rks = []
             for k in range(k_in):
                 rks.append(r)
-                fi = f_all[k].astype(jnp.int32)
-                r = r + fi
-                hs = jnp.maximum(hs, fi * (k + 1))
-            mhs = jnp.max(hs)
-            rlo_off = jnp.min(r_pre) + 1
-            rhi_off = jnp.max(r)
+                r = r + f_all[k].astype(jnp.int32)
 
-            @pl.when(mhs > 0)
-            def _accumulate(off=off, f_all=f_all, rks=rks, sl=sl, mhs=mhs,
-                            rlo_off=rlo_off, rhi_off=rhi_off):
+            @pl.when(off_any)
+            def _accumulate(off=off, f_all=f_all, rks=rks, sl=sl, r_pre=r_pre,
+                            r_post=r):
+                # THREE more folds gate the whole candidate loop (round 4;
+                # was ~3 folds PER candidate): hs tracks the highest arriving
+                # slot index + 1 per cell, so one max fold yields a sound
+                # tail-skip for every candidate slot (packs fill lowest slots
+                # first, so the skipped tail is exactly the empty upper
+                # slots), and the landing-rank bounds hoist per offset: every
+                # arrival rank lies in [min r_pre + 1, max r_post]
+                # (conservative bounds are sound — the per-cell hit test in
+                # assign() is exact).
+                hs = jnp.zeros((bx, by, Zp), jnp.int32)
+                for k in range(k_in):
+                    hs = jnp.maximum(hs, f_all[k].astype(jnp.int32) * (k + 1))
+                mhs = jnp.max(hs)
+                rlo_off = jnp.min(r_pre) + 1
+                rhi_off = jnp.max(r_post)
                 for k in range(k_in):
                     fk = f_all[k]
 
                     @pl.when(mhs >= k + 1)
                     def _slot(fk=fk, rk=rks[k], k=k, off=off, sl=sl):
-                        pay_p, pay_d = payloads(k, off, sl)
-                        assign(fk, rk, pay_p, pay_d, rlo_off, rhi_off)
+                        # below the tail, the exact per-candidate fold is
+                        # still worth one reduce: an empty slot's assign
+                        # bodies (group loop + payload selects/rolls) cost
+                        # more than the fold it skips
+                        @pl.when(jnp.any(fk))
+                        def _active(fk=fk, rk=rk, k=k, off=off, sl=sl):
+                            pay_p, pay_d = payloads(k, off, sl)
+                            assign(fk, rk, pay_p, pay_d, rlo_off, rhi_off)
 
 
 def _ref_writers(outp_ref, outd_ref):
@@ -878,10 +889,12 @@ def _pick_blocks_yz(k_in, k_mid, k_out, X, Y, s, Zp, budget):
 
 _BUDGET = 38 << 20     # x stage: 2x window + mid + out; Mosaic pack
                        # temporaries ride on top within the 100MB vmem limit
-_BUDGET_YZ = 70 << 20  # yz stage (auto-pipelined window accounting; raised
-                       # 60 -> 70 MB in round 4 so highres lands on the
-                       # (1, 64) geometry — pack temps are a few MB and the
-                       # hard vmem_limit_bytes stays 100 MB)
+_BUDGET_YZ = 64 << 20  # yz stage (auto-pipelined window accounting; raised
+                       # 60 -> 64 MB in round 4 so the dam lands on the
+                       # halo-less (2, 64) geometry — 70 MB would also give
+                       # highres a (1, 64) 3-part window, measured exactly
+                       # equal to its (1, 32), so the budget stays at the
+                       # lower VMEM pressure; hard vmem_limit_bytes is 100 MB)
 
 
 def supports(grid_dim, capacity: int, max_shift: int) -> bool:
@@ -901,30 +914,29 @@ _SLACK_BYTE_BUDGET = 256 << 20  # per-stage buffer size above which slack drops
 
 
 def default_slack(table_nbytes: int, capacity: int) -> int:
-    """Stage-buffer slot slack: 4 for small (test-scale) tables; 2 at
+    """Stage-buffer slot slack: 4 for small (test-scale) tables; 1 at
     production scale. Slack only covers TRANSIENT mid-pack overcrowding
-    (particles funneled into a cell-column before the later axes spread them),
-    so 2 costs little: measured dam-scale loss is unchanged (round 3:
-    lost_pct identical at slack 2 vs 4), and every slot sliced off k_mid cuts
-    ~5% off the four table-sweeping kernels' traffic AND their per-slot pack
-    loops (the sweeps price ~linearly in the slot dim, PERF.md). Originally
-    the drop to 2 was HBM-pressure-driven (two K+slack stage buffers live at
-    once nearly overflowed 16 GB at 256x128x128/K=16, PERF.md round-2); now
-    it is also the measured-cheaper default wherever the flow statistics
-    match (any production-scale table)."""
+    (particles funneled into a cell-column before the later axes spread
+    them), so little is needed: every slot sliced off k_mid cuts ~6% off the
+    four table-sweeping kernels' traffic AND their per-slot pack loops (the
+    sweeps price ~linearly in the slot dim, PERF.md). Measured at the honest
+    dam config (K=14, round 4): slack 2 -> 1 is 25.93 -> 26.99 steps/s for
+    lost_pct 0.317 -> 0.349 — well inside the <0.5% budget. Round-3 history:
+    4 -> 2 was loss-neutral (0.048 -> 0.049 at K=16) and originally
+    HBM-pressure-driven (two K+slack stage buffers at 256x128x128/K=16
+    nearly overflowed 16 GB)."""
     import os
 
     env = os.environ.get("BLUB_REBIN_SLACK")
     if env:
         return int(env)
     per_slot = table_nbytes // max(capacity, 1)
-    # ADVICE r3: loss-neutrality of slack 2 was measured at the dam config
-    # (lost_pct 0.048 -> 0.049); callers with unusually crowd-heavy flows in
-    # the 256 MiB..2 GiB table band should pass slack=4 explicitly via the
-    # ``slack`` parameter of rebin_slot_major (bench.py surfaces lost_pct so
-    # a regression is visible per run; BLUB_REBIN_SLACK overrides globally
-    # for experiments).
-    return 2 if (capacity + 4) * per_slot > _SLACK_BYTE_BUDGET else 4
+    # ADVICE r3: loss-neutrality was measured at the dam + highres bench
+    # configs; callers with unusually crowd-heavy flows in the production
+    # band should pass slack=2..4 explicitly via the ``slack`` parameter of
+    # rebin_slot_major (bench.py surfaces lost_pct so a regression is
+    # visible per run; BLUB_REBIN_SLACK overrides globally for experiments).
+    return 1 if (capacity + 4) * per_slot > _SLACK_BYTE_BUDGET else 4
 
 
 def rebin_slot_major(
