@@ -38,7 +38,8 @@ def main():
     perm = choose_perm(grid)
     params = permute_params(params, perm)
     pos = permute_positions(pos, perm)
-    state = make_dense_state(params, pos, capacity=16)
+    capacity = int(os.environ.get("BLUB_PROFILE_CAPACITY", "14"))  # bench default
+    state = make_dense_state(params, pos, capacity=capacity)
 
     fn = jax.jit(lambda s: multi_step_dense(params, s, steps))
     t0 = time.time()
