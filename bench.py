@@ -38,6 +38,58 @@ import time
 import numpy as np
 
 
+def physics_quality(state, solver_tolerance: float):
+    """Post-run physics-quality telemetry (VERDICT r4 next #5): attach
+    machine-checkable physics numbers to the headline so accuracy/speed
+    trades (capacity K, slack, CFL) are visible in every bench artifact.
+
+    - max_divergence: the velocity pressure-solve's exit max|residual|
+      (dt-scaled, same units as SolverConfig.error_tolerance). In the
+      discretization, the post-projection divergence of a fluid cell IS the
+      solve residual at that cell, so this is max |div u| after projection —
+      the exact quantity the reference plots per solve
+      (/root/reference/src/simulation/pressure_solver.rs:64-95).
+    - solver_converged: that residual is within the configured tolerance
+      (BASELINE.md "matching the reference within tolerance" clause).
+    - density_drift_pct: mean signed (rho/rho0 - 1) over INTERIOR fluid
+      cells (all 6 neighbors fluid) of the final state, in percent —
+      positive = compression. Catches volume drift from particle loss that
+      lost_pct alone can hide (the density projection re-packs survivors).
+      Computed on-device with the oracle-equivalent XLA gather
+      (sim/dense_transfer.py), one small extra compile at bench end.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from blub_tpu.core.types import CELL_FLUID
+    from blub_tpu.sim.dense_transfer import marker_from_table, p2g_density_dense
+    from blub_tpu.sim.density import DENSITY0
+    from blub_tpu.sim.gridops import shift
+    from blub_tpu.sim.slot_major import SlotMajorTable, to_table
+
+    @jax.jit
+    def _drift(tab):
+        table = to_table(tab) if isinstance(tab, SlotMajorTable) else tab
+        marker = marker_from_table(table, None)
+        rho = p2g_density_dense(table)
+        interior = marker == CELL_FLUID
+        for ax in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+            for off in (ax, tuple(-a for a in ax)):
+                interior = interior & (shift(marker, off) == CELL_FLUID)
+        err = jnp.where(interior, rho / DENSITY0 - 1.0, 0.0)
+        n = jnp.maximum(jnp.sum(interior.astype(jnp.int32)), 1)
+        return jnp.sum(err) / n.astype(jnp.float32), jnp.max(jnp.abs(err))
+
+    drift, drift_max = (float(jax.device_get(v)) for v in _drift(state.table))
+    max_div = float(jax.device_get(state.stats_vel.error))
+    return {
+        "max_divergence": round(max_div, 5),
+        "solver_converged": bool(max_div <= solver_tolerance),
+        "density_drift_pct": round(100.0 * drift, 3),
+        "density_err_max_pct": round(100.0 * drift_max, 2),
+    }
+
+
 def run_config(grid, n_steps, capacity, batch, cfl, raw, mesh_n=0):
     import jax
 
@@ -150,6 +202,7 @@ def run_config(grid, n_steps, capacity, batch, cfl, raw, mesh_n=0):
     from blub_tpu.sim.slot_major import SlotMajorTable
 
     layout = "sm" if isinstance(state.table, SlotMajorTable) else "pt(slow fallback)"
+    quality = physics_quality(state, params.solver_vel.error_tolerance)
     return {
         "layout": layout,
         "metric": f"sim steps/sec (dt=1/120 frames, CFL-substepped), {x}x{y}x{z} grid, {n0} particles, 1 chip",
@@ -162,6 +215,7 @@ def run_config(grid, n_steps, capacity, batch, cfl, raw, mesh_n=0):
         "substeps_per_frame": round(substeps / frames, 2),
         "lost_particles": lost,
         "lost_pct": round(100.0 * lost / n0, 3),
+        **quality,
     }
 
 
