@@ -802,7 +802,11 @@ from .pallas_rebin import (
     group_ranges,
 )
 
-ADVECT_SHIFT = 2  # advect clamps bin movement to +-2 (MAX_ADVECT_MOVE clamp)
+# advect clamps bin movement to +-ADVECT_SHIFT (MAX_ADVECT_MOVE clamp);
+# env-configurable for the wide-CFL experiment — single source of truth in
+# sim/dense_advect.py so the kernel windows and the clamp always agree
+from ..sim.dense_advect import ADVECT_SHIFT
+
 CORRECT_SHIFT = 1  # correct clamps to +-1
 
 

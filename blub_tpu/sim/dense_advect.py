@@ -26,7 +26,16 @@ from .advect import StaggeredSamples, _clamp_step_to_cell, _rk4, g2p_apic
 from .dense_transfer import _roll
 from .table import ParticleTable
 
-MAX_ADVECT_MOVE = 1.99  # cells per step; keeps the rebin window at +-2
+import os
+
+# Advect bin-movement clamp in cells per substep; sets the rebin window
+# (ADVECT_SHIFT = ceil). Default +-2 pairs with CFL 1.9. BLUB_ADVECT_SHIFT=3
+# widens the clamp to +-2.99 for the CFL ~2.9 experiment (PERF.md roadmap #3):
+# fewer substeps per frame, at ~1.3x wider rebin/advect windows and coarser
+# APIC accuracy per substep — adopt only if bench.py's lost_pct /
+# max_divergence / density_drift telemetry holds at the dam's violent phase.
+ADVECT_SHIFT = int(os.environ.get("BLUB_ADVECT_SHIFT", "2"))
+MAX_ADVECT_MOVE = ADVECT_SHIFT - 0.01  # cells per step
 MAX_CORRECT_MOVE = 0.99  # density correction: paper clamp is 0.5; window +-1
 
 

@@ -34,6 +34,7 @@ from .divergence import compute_divergence_rhs, remove_divergence
 from .extrapolate import extrapolate_velocity
 from .pressure import solve_pressure
 from .slot_major import SlotMajorTable, from_table
+from .dense_advect import ADVECT_SHIFT
 from .table import ParticleTable, from_positions, rebin
 
 
@@ -61,7 +62,7 @@ def slot_major_supported(grid_dim, capacity: int) -> bool:
 
     return (
         pallas_p2g.supports(grid_dim, capacity)
-        and pallas_rebin.supports(grid_dim, capacity, 2)
+        and pallas_rebin.supports(grid_dim, capacity, ADVECT_SHIFT)
         and pallas_rebin.supports(grid_dim, capacity, 1)
         and pallas_advect.supports(grid_dim, capacity)
     )
@@ -151,7 +152,7 @@ def step_dense(
 
     # --- advection + rebin ----------------------------------------------------
     table = advect_dense(table, vel, occupancy, solid_vel, dt)
-    table = rebin(table, max_shift=2)
+    table = rebin(table, max_shift=ADVECT_SHIFT)
 
     # --- implicit density projection ------------------------------------------
     marker2 = marker_from_table(table, occupancy)
@@ -589,13 +590,13 @@ def _step_core(
             )
         with jax.named_scope("ph_rebin2"):
             table = ph.rebin_yz(
-                posq_mid, dyn_mid, 2, k, table.lost, n0 - table.lost
+                posq_mid, dyn_mid, ADVECT_SHIFT, k, table.lost, n0 - table.lost
             )
     else:
         with jax.named_scope("ph_advect"):
             table, max_speed = ph.advect_plain(table, vel, occupancy, solid_vel, dt)
         with jax.named_scope("ph_rebin2"):
-            table = ph.rebin_full(table, 2, n0 - table.lost)
+            table = ph.rebin_full(table, ADVECT_SHIFT, n0 - table.lost)
 
     # --- implicit density projection ------------------------------------------
     with jax.named_scope("ph_p2g_density"):
