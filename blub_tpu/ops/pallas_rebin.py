@@ -110,8 +110,6 @@ def _pack_core(
     riota,
     gout_base,
     x_off=None,
-    a0=None,
-    core_ok=None,
 ):
     """One axis-split pack from VMEM window refs into per-slot writers.
 
@@ -125,26 +123,11 @@ def _pack_core(
     halo-extended local window (parallel/sharded_sm.py) so the array-frame
     coordinates below compare correctly against the GLOBAL positions.
 
-    ``a0``: start of the pack core along the pack axis within the window
-    (default: s for axis 0, _YH for axis 1 — the standalone stage layouts).
-    The pack-on-read consumers (ops/pallas_packread.py) pack EXTENDED regions
-    (e.g. core±1 for a gather) whose start differs.
-
-    ``core_ok``: optional bool mask over the pack region marking cells whose
-    window rows are real (not clamped duplicates). Standalone stages never
-    need it (their region is the real core), but an extended pack region can
-    include masked rows (e.g. the y = -1 row of an edge block, or clamped
-    duplicate x columns of a 9-part window): the PACK path already writes
-    empty cells there (rowok excludes their candidates), but the block-level
-    copy-through fast path must select them to zero explicitly.
-
     ``wind=None`` transports positions only (write_d/read_out_d unused): the
     pack DECISIONS (stay flags, empty ranks, overflow victims) are a pure
     function of posq, so a posq-only pack is bit-identical in posq to the
-    two-array pack (used by the density pack-on-read, which reads no
-    velocities)."""
-    if a0 is None:
-        a0 = s if axis == 0 else _YH
+    two-array pack."""
+    a0 = s if axis == 0 else _YH
     wvalid = winp[:, CH_VALID] > 0.5
     wtarget = _target(winp[:, axis], dim_a)
     actual_f = None
@@ -174,15 +157,9 @@ def _pack_core(
     def _copy_through():
         for q in range(k_out):
             if q < k_in:
-                pp = winp[q][(slice(None),) + core]
-                if core_ok is not None:
-                    pp = jnp.where(core_ok[None], pp, 0.0)
-                write_p(q, pp)
+                write_p(q, winp[q][(slice(None),) + core])
                 if wind is not None:
-                    dd = wind[q][(slice(None),) + core]
-                    if core_ok is not None:
-                        dd = jnp.where(core_ok[None], dd, 0.0)
-                    write_d(q, dd)
+                    write_d(q, wind[q][(slice(None),) + core])
             else:
                 write_p(q, jnp.zeros((NUM_POSQ, bx, by, Zp), jnp.float32))
                 if wind is not None:

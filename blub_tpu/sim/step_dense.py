@@ -196,63 +196,6 @@ def _interpret_kernels() -> bool:
         return True
 
 
-@_register
-@dataclasses.dataclass
-class MidCarry:
-    """Between-substep carried state on the PACK-ON-READ path: the x-packed
-    k_mid-slot mid1 stage (bin invariant along x only — produced by
-    correct_pack_read, consumed by p2g_pack_read) plus everything
-    DenseFluidState carries besides the table. The full bin invariant is
-    restored once per frame by _finalize_packread."""
-
-    posq: jax.Array  # f32[k_mid, 4, X, Y, Zp]
-    dyn: jax.Array   # f32[k_mid, 6, X, Y, Zp]
-    pressure_vel: jax.Array
-    pressure_den: jax.Array
-    step_index: jax.Array
-    stats_vel: SolverStats
-    stats_den: SolverStats
-    lost: jax.Array
-    max_speed: jax.Array
-
-
-def _packread_kmid(params: SimParams, capacity: int):
-    """k_mid for the pack-on-read path when it is ENABLED
-    (BLUB_ENABLE_PACKREAD=1) and the full kernel set supports this config,
-    else None. Requires the fused advect+x-pack producer (mid2), all three
-    pack-on-read consumers, and the standalone yz stage (the per-frame
-    finalize).
-
-    DEFAULT OFF: on-hardware measurement (PERF.md round 4,
-    scripts/tpu_packread_smoke.py) shows the fused consumers LOSE to the
-    round-3 pipeline at dam scale — their combined VMEM working set forces
-    bx=2 blocks, i.e. 2x x-window amplification and 2x pack-region compute
-    (fused p2g 12.7 ms vs 8.8 unfused; fused correct 13.2 vs 11.0; only the
-    posq-only density leg wins, 6.3 vs 10.6, and it cannot be adopted alone
-    because rebin2 must still run for correct). The path stays bit-exact and
-    tested (tests/test_packread.py, test_step_packread.py) pending the
-    smaller-scratch rework sketched in PERF.md."""
-    import os
-
-    if not os.environ.get("BLUB_ENABLE_PACKREAD"):
-        return None
-    from ..ops import pallas_advect, pallas_packread, pallas_rebin
-    from .slot_major import zpad
-
-    k = capacity
-    X, Y, Z = params.grid_dim
-    table_nbytes = k * 10 * X * Y * zpad(Z) * 4
-    k_mid = k + pallas_rebin.default_slack(table_nbytes, k)
-    ok = (
-        pallas_advect.fused_supports(params.grid_dim, k, k_mid, True)
-        and pallas_packread.supports_consume(params.grid_dim, k_mid, k, False)
-        and pallas_packread.supports_consume(params.grid_dim, k_mid, k, True)
-        and pallas_packread.supports_correct(params.grid_dim, k_mid, k, k_mid)
-        and pallas_rebin.supports(params.grid_dim, k, 1)
-    )
-    return k_mid if ok else None
-
-
 def _solver_ladder(params: SimParams, interp: bool):
     """Pressure solver on real TPUs (CPU/interpret keeps the XLA oracle):
     whole-solve VMEM kernel when the grid fits, else the blocked beyond-VMEM
@@ -266,151 +209,6 @@ def _solver_ladder(params: SimParams, interp: bool):
     return solve_pressure
 
 
-def _packread_substep_tail(
-    params: SimParams, table: SlotMajorTable, acc, solids, dt,
-    pressure_vel, pressure_den, solve, k_mid: int, interp: bool, step_index,
-) -> MidCarry:
-    """The pack-on-read substep once (table, P2G accumulators) exist: grid
-    phases -> advect+x-pack (mid2) -> fused density -> fused correct (mid1).
-    Same pass order as _step_slot_major minus both standalone rebin sweeps
-    (they run inside the consumers' VMEM windows — ops/pallas_packread.py)."""
-    from ..ops import pallas_gridfix
-    from ..ops.pallas_advect import advect_pack_sm_pallas
-    from ..ops.pallas_packread import correct_pack_read, density_pack_read
-    from ..ops.pallas_p2g import normalize_velocity
-    from .density import position_change_field
-    from .sm_phases import marker_from_counts
-
-    occupancy = solids.occupancy if solids is not None else None
-    solid_vel = solids.velocity if solids is not None else None
-    k = table.capacity
-    n0 = jnp.int32(params.num_particles)
-
-    with jax.named_scope("ph_marker"):
-        marker = marker_from_counts(acc[-1], params.grid_dim, occupancy)
-        vel = normalize_velocity(acc, marker, params.gravity_grid, dt)
-    with jax.named_scope("ph_div_rhs"):
-        rhs = compute_divergence_rhs(vel, marker, solid_vel)
-    with jax.named_scope("ph_pcg_vel"):
-        res_vel = solve(pressure_vel, rhs, marker, params.solver_vel, dt)
-    with jax.named_scope("ph_gridfix_vel"):
-        if pallas_gridfix.supports(params.grid_dim):
-            vel = pallas_gridfix.remove_extrapolate_pallas(
-                vel, res_vel.pressure, marker, solid_vel, interpret=interp
-            )
-        else:
-            vel = remove_divergence(vel, res_vel.pressure, marker, solid_vel)
-            vel = extrapolate_velocity(vel, marker)
-
-    with jax.named_scope("ph_advect"):
-        posq2, dyn2, max_speed = advect_pack_sm_pallas(
-            table, vel, occupancy, solid_vel, dt, k_mid, interpret=interp
-        )
-    with jax.named_scope("ph_p2g_density"):
-        raw_density, fluid_cnt = density_pack_read(
-            posq2, params.grid_dim, s=2, k_out=k, interpret=interp
-        )
-    with jax.named_scope("ph_den_rhs"):
-        marker2 = marker_from_counts(fluid_cnt, params.grid_dim, occupancy)
-        den_rhs = density_rhs_from_raw(raw_density, marker2, dt)
-    with jax.named_scope("ph_pcg_den"):
-        res_den = solve(pressure_den, den_rhs, marker2, params.solver_den, dt)
-    with jax.named_scope("ph_gridfix_den"):
-        if pallas_gridfix.supports(params.grid_dim):
-            change = pallas_gridfix.change_extrapolate_pallas(
-                res_den.pressure, marker2, dt, interpret=interp
-            )
-        else:
-            change = position_change_field(res_den.pressure, marker2, dt)
-            change = extrapolate_velocity(change, marker2)
-    with jax.named_scope("ph_correct"):
-        posq1, dyn1, cnt = correct_pack_read(
-            posq2, dyn2, change, marker2, params.grid_dim,
-            s_in=2, k_pk=k, k_out=k_mid, interpret=interp,
-        )
-    after = jnp.sum(cnt).astype(jnp.int32)
-    lost = table.lost + ((n0 - table.lost) - after)
-    return MidCarry(
-        posq=posq1,
-        dyn=dyn1,
-        pressure_vel=res_vel.pressure,
-        pressure_den=res_den.pressure,
-        step_index=step_index + 1,
-        stats_vel=res_vel.stats,
-        stats_den=res_den.stats,
-        lost=lost,
-        max_speed=max_speed,
-    )
-
-
-def _substep0_packread(
-    params: SimParams, state: DenseFluidState, solids, dt, k_mid: int,
-    interp: bool,
-) -> MidCarry:
-    """Frame-opening substep: the carried table satisfies the FULL bin
-    invariant, so P2G needs no pack — the plain kernel reads it directly."""
-    from ..ops.pallas_p2g import p2g_raw_accumulators
-
-    solve = _solver_ladder(params, interp)
-    table: SlotMajorTable = state.table
-    with jax.named_scope("ph_p2g"):
-        acc = p2g_raw_accumulators(table, interpret=interp, with_density=False)
-    return _packread_substep_tail(
-        params, table, acc, solids, dt, state.pressure_vel, state.pressure_den,
-        solve, k_mid, interp, state.step_index,
-    )
-
-
-def _substep_packread(
-    params: SimParams, carry: MidCarry, solids, dt, k: int, k_mid: int,
-    interp: bool,
-) -> MidCarry:
-    """Steady-state substep: fused P2G consumes mid1 (pack-on-read, s=1) and
-    emits the packed K-slot table as a by-product for advect."""
-    from ..ops.pallas_packread import p2g_pack_read
-
-    solve = _solver_ladder(params, interp)
-    n0 = jnp.int32(params.num_particles)
-    with jax.named_scope("ph_p2g"):
-        acc, posq_t, dyn_t, cnt = p2g_pack_read(
-            carry.posq, carry.dyn, params.grid_dim, s=1, k_out=k, interpret=interp
-        )
-    after = jnp.sum(cnt).astype(jnp.int32)
-    lost = carry.lost + ((n0 - carry.lost) - after)
-    table = SlotMajorTable(
-        posq=posq_t, dyn=dyn_t, lost=lost, grid_dim=tuple(params.grid_dim)
-    )
-    return _packread_substep_tail(
-        params, table, acc, solids, dt, carry.pressure_vel, carry.pressure_den,
-        solve, k_mid, interp, carry.step_index,
-    )
-
-
-def _finalize_packread(
-    params: SimParams, carry: MidCarry, k: int, interp: bool
-) -> DenseFluidState:
-    """Restore the full bin invariant (one standalone yz stage per FRAME) so
-    renderer / checkpoint / sharding / oracle-equivalence consumers see the
-    same K-slot table the unfused path carried every substep."""
-    from ..ops.pallas_rebin import rebin_yz_slot_major
-
-    n0 = jnp.int32(params.num_particles)
-    with jax.named_scope("ph_finalize"):
-        table = rebin_yz_slot_major(
-            carry.posq, carry.dyn, tuple(params.grid_dim), 1, k_out=k,
-            lost=carry.lost, before_count=n0 - carry.lost, interpret=interp,
-        )
-    return DenseFluidState(
-        table=table,
-        pressure_vel=carry.pressure_vel,
-        pressure_den=carry.pressure_den,
-        step_index=carry.step_index,
-        stats_vel=carry.stats_vel,
-        stats_den=carry.stats_den,
-        max_speed=carry.max_speed,
-    )
-
-
 def _step_slot_major(
     params: SimParams, state: DenseFluidState, solids: Optional[SolidState], dt
 ) -> DenseFluidState:
@@ -419,17 +217,12 @@ def _step_slot_major(
     table-heavy phase is a kernel (P2G, both rebins) or a slot-major XLA port
     (marker, advect, correct) — zero layout conversions per step."""
     interp = _interpret_kernels()
-    # PACK-ON-READ (round 4): when the fused consumer kernels support this
-    # config, the step runs plain p2g -> ... -> advect+xpack -> fused density
-    # -> fused correct -> per-step finalize, eliminating the standalone
-    # rebin2 sweep entirely (bit-exact vs the pipeline below —
-    # tests/test_packread.py, test_step_packread.py). frame_dense
-    # additionally chains substeps through mid1 (fused p2g), so the rebin1
-    # sweep runs once per FRAME, not per substep.
-    k_mid_pr = _packread_kmid(params, state.table.capacity)
-    if k_mid_pr is not None:
-        carry = _substep0_packread(params, state, solids, dt, k_mid_pr, interp)
-        return _finalize_packread(params, carry, state.table.capacity, interp)
+    # Round-4's pack-on-read variant (fused pack+consume kernels eliminating
+    # the rebin2 sweep) was CUT in round 5: measured on hardware, two of its
+    # three legs lost to this pipeline on block geometry (the all-in-one VMEM
+    # working set forced bx=2 blocks — 2x window amplification), and keeping
+    # a default-off twin of every physics kernel bit-exact was pure
+    # maintenance tax (VERDICT r4 weak #3 / next #2). History: commit 5df4063.
     return _step_core(params, state, solids, dt, LocalPhases(params, interp))
 
 
@@ -694,29 +487,6 @@ def frame_dense_fn(
     else:
         n_sub = jnp.int32(1)
     sub_dt = dt / n_sub.astype(jnp.float32)
-
-    # PACK-ON-READ frame: substep 0 reads the (fully binned) frame-boundary
-    # table with the plain P2G; substeps 1..n-1 chain through the x-packed
-    # mid1 stage via the fused P2G; ONE standalone yz stage per frame
-    # restores the full bin invariant at the frame boundary. Bit-exact vs
-    # n_sub x step_dense (tests/test_step_packread.py).
-    if isinstance(state.table, SlotMajorTable):
-        k = state.table.capacity
-        k_mid = _packread_kmid(params, k)
-        if k_mid is not None:
-            interp = _interpret_kernels()
-            carry = _substep0_packread(
-                params, state, solids_fn(jnp.int32(0), n_sub), sub_dt, k_mid,
-                interp,
-            )
-
-            def pr_body(i, c):
-                return _substep_packread(
-                    params, c, solids_fn(i, n_sub), sub_dt, k, k_mid, interp
-                )
-
-            carry = jax.lax.fori_loop(1, n_sub, pr_body, carry)
-            return _finalize_packread(params, carry, k, interp), n_sub
 
     def body(i, s):
         return step_dense(params, s, solids_fn(i, n_sub), dt=sub_dt)
