@@ -59,7 +59,11 @@ def add_fluid_cube(
     # Seed keyed on the running particle count like the reference (rs:639).
     rng = np.random.default_rng(existing + n if seed is None else seed)
     jitter = rng.random((n, 3), np.float32) * 0.5
-    return (cell + strat + jitter).astype(np.float32)
+    pos = (cell + strat + jitter).astype(np.float32)
+    # seeds land on the rel16 position grid (sim/slot_major.quantize_pos):
+    # every later position store quantizes, so starting quantized keeps the
+    # flat/pt/slot-major paths bit-identical from step 0
+    return (np.round(pos * np.float32(8192.0)) * np.float32(2.0 ** -13)).astype(np.float32)
 
 
 def seed_scene(scene: SceneConfig, seed: int | None = None) -> np.ndarray:

@@ -5,7 +5,7 @@ counts. Renders with ANSI redraw; keys are read raw (termios) when stdin is a
 TTY, otherwise it runs as a non-interactive status monitor.
 
 Keys: [space] pause/resume   [f] fast-forward 1s   [r] reset
-      [+]/[-] sim steps per second                 [s] screenshot   [q] quit
+      [n]/[p] next/previous scene (scans scenes/)  [s] screenshot   [q] quit
       [t]/[T] solver tolerance /2,*2   [i]/[I] solver max iterations -8,+8
       [c]/[C] error check frequency    [m] fluid render mode   [v] volume mode
 (the solver/timing knobs mirror the reference GUI, src/gui/mod.rs:212-420)
@@ -94,7 +94,7 @@ class Dashboard:
                 else ""
             ),
             "",
-            "  [space] pause  [f] +1s  [r] reset  [s] screenshot  [n] next scene  [q] quit",
+            "  [space] pause  [f] +1s  [r] reset  [s] screenshot  [n/p] next/prev scene  [q] quit",
             "  [t/T] tolerance  [i/I] max iters  [c/C] check freq  [m] fluid mode  [v] volume mode  [</>] time scale",
             "  camera: [h/l] orbit  [j/k] tilt  [z/x] dolly  [w/a/d/e] fly  [0] reframe",
         ]
@@ -159,8 +159,8 @@ class Dashboard:
                 self.ctl.time_scale * (2.0 if key == ">" else 0.5), 1.0 / 64.0
             )
             self._msg = f"time scale -> {self.ctl.time_scale:g}x"
-        elif key == "n":
-            self._next_scene()
+        elif key in "np":
+            self._next_scene(-1 if key == "p" else 1)
         elif key in "hljkzx0wade" and self.renderer is not None:
             self._camera_key(key)
         return True
@@ -198,9 +198,9 @@ class Dashboard:
         p = cam.position if key != "0" else self.renderer.camera.position
         self._msg = f"camera at ({p[0]:.0f}, {p[1]:.0f}, {p[2]:.0f})"
 
-    def _next_scene(self) -> None:
-        """Cycle to the next scene JSON (the reference GUI's scene selector,
-        gui/mod.rs:212-247)."""
+    def _next_scene(self, step: int = 1) -> None:
+        """Cycle to the next/previous scene JSON (the reference GUI's scene
+        selector scans the scenes/ folder, gui/mod.rs:24-34, 212-247)."""
         from ..core.config import list_scenes
         from ..runtime.scene import Scene
 
@@ -210,7 +210,11 @@ class Dashboard:
             return
         cur = self.ctl.scene.config.name
         names = [p.stem for p in scenes]
-        nxt = scenes[(names.index(cur) + 1) % len(scenes)] if cur in names else scenes[0]
+        nxt = (
+            scenes[(names.index(cur) + step) % len(scenes)]
+            if cur in names
+            else scenes[0]
+        )
         old = self.ctl.scene
         self.ctl.scene = Scene(nxt, settings=old.settings, capacity=old.capacity)
         self.ctl.restart()

@@ -34,14 +34,56 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.types import CELL_SOLID
 from ..sim.dense_advect import MAX_ADVECT_MOVE, MAX_CORRECT_MOVE
 from ..sim.slot_major import (
-    CH_VALID,
+    CH_XY,
+    CH_ZV,
     NUM_DYN,
     NUM_POSQ,
+    POS_INV,
+    POS_SCALE,
     SlotMajorTable,
     pack_pair,
 )
 
 _YH = 8  # y halo part size (sublane slices must be 8-aligned in start+size)
+
+
+def _bits(a):
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
+def _f32i(a):
+    return jax.lax.bitcast_convert_type(a, jnp.float32)
+
+
+def _decode_pos(posq_slice, gf):
+    """rel16 posq slot slice [G, 2, ...] -> ([px, py, pz] exact f32 global
+    positions, validb bool). `gf` are the slots' f32 cell coordinates
+    (global under sharding). Invalid slots decode to finite garbage; every
+    consumer masks by validb."""
+    b0 = _bits(posq_slice[:, CH_XY])
+    b1 = _bits(posq_slice[:, CH_ZV])
+    rs = (b0 >> 16, (b0 << 16) >> 16, b1 >> 16)
+    pos = [gf[a] + 1.0 + rs[a].astype(jnp.float32) * POS_INV for a in range(3)]
+    return pos, (b1 & 1) == 1
+
+
+def _encode_pos(new_pos, validb, gf):
+    """Global positions -> rel16 posq channels (quantizing to the 2^-13
+    grid exactly like slot_major.quantize_pos — see there for the f32
+    exactness argument), masked so invalid slots stay exact zeros."""
+    rs = [
+        jnp.round((new_pos[a] - gf[a] - 1.0) * POS_SCALE).astype(jnp.int32)
+        for a in range(3)
+    ]
+    vbit = validb.astype(jnp.int32)
+    ch0 = jnp.where(validb, (rs[0] << 16) | (rs[1] & 0xFFFF), 0)
+    ch1 = jnp.where(validb, (rs[2] << 16) | vbit, 0)
+    return _f32i(ch0), _f32i(ch1)
+
+
+def _valid_bits(posq_slice):
+    return _bits(posq_slice[:, CH_ZV]) & 1
+
 
 _CORNERS = {
     "v000": (0, 0, 0), "v100": (1, 0, 0), "v010": (0, 1, 0), "v110": (1, 1, 0),
@@ -270,7 +312,7 @@ def _advect_kernel(*refs, bx, by, X, Y, grid_dim, with_solids, with_xs=False):
     k = posq_ref.shape[0]
 
     # air blocks (no particles) skip everything, grid-window DMAs included
-    has_particles = jnp.any(posq_ref[:, CH_VALID] > 0.5)
+    has_particles = jnp.any(_valid_bits(posq_ref) == 1)
 
     @pl.when(jnp.logical_not(has_particles))
     def _empty():
@@ -336,7 +378,7 @@ def _advect_block(
     ms_ref[...] = jnp.zeros((8, 128), jnp.float32)
     for q0 in range(0, k, _GSZ):
         q1 = min(q0 + _GSZ, k)
-        vg = jnp.any(posq_ref[q0:q1, CH_VALID] > 0.5)
+        vg = jnp.any(_valid_bits(posq_ref[q0:q1]) == 1)
 
         @pl.when(vg)
         def _grp(q0=q0, q1=q1):
@@ -367,9 +409,7 @@ def _advect_group(
     *, gi, gf, gmax, wins_v, wocc, wsv, bxc, by, with_solids, rowok_b, xs,
 ):
     """The advect math of _advect_block for slots [q0, q1)."""
-    pos = [posq_ref[q0:q1, a] for a in range(3)]
-    valid = posq_ref[q0:q1, CH_VALID]
-    validb = valid > 0.5
+    pos, validb = _decode_pos(posq_ref[q0:q1], gf)
 
     xi = [pos[a] - 0.5 - gf[a] for a in range(3)]
     sel = [x >= 0.5 for x in xi]
@@ -443,9 +483,9 @@ def _advect_group(
         new_pos[a] = jnp.where(penetrates, corrected_pos, new_pos[a])
         velocity[a] = jnp.where(penetrates, direction[a] * inv_dt, velocity[a])
 
-    for a in range(3):
-        outp_ref[q0:q1, a] = jnp.where(validb, new_pos[a], 0.0)
-    outp_ref[q0:q1, CH_VALID] = valid
+    ch0, ch1 = _encode_pos(new_pos, validb, gf)
+    outp_ref[q0:q1, CH_XY] = ch0
+    outp_ref[q0:q1, CH_ZV] = ch1
     # per-block max |v|^2 by-product (drives CFL substepping without a
     # separate whole-table reduction; scalar in an (8,128)-tile like
     # pallas_pcg's stats output — scatter doesn't lower in Mosaic);
@@ -483,7 +523,7 @@ def _correct_kernel(*refs, bx, by, X, Y, grid_dim, with_xs=False):
     k = posq_ref.shape[0]
 
     # air blocks (no particles) skip everything, grid-window DMAs included
-    has_particles = jnp.any(posq_ref[:, CH_VALID] > 0.5)
+    has_particles = jnp.any(_valid_bits(posq_ref) == 1)
 
     @pl.when(jnp.logical_not(has_particles))
     def _empty():
@@ -526,7 +566,7 @@ def _correct_block(
     k = posq_ref.shape[0]
     for q0 in range(0, k, _GSZ):
         q1 = min(q0 + _GSZ, k)
-        vg = jnp.any(posq_ref[q0:q1, CH_VALID] > 0.5)
+        vg = jnp.any(_valid_bits(posq_ref[q0:q1]) == 1)
 
         @pl.when(vg)
         def _grp(q0=q0, q1=q1):
@@ -546,8 +586,7 @@ def _correct_group(
     posq_ref, out_ref, q0, q1, *, gi, gf, gmax, wins_c, wmk, bxc, by, xs,
 ):
     """The position-correction math of _correct_block for slots [q0, q1)."""
-    pos = [posq_ref[q0:q1, a] for a in range(3)]
-    validb = posq_ref[q0:q1, CH_VALID] > 0.5
+    pos, validb = _decode_pos(posq_ref[q0:q1], gf)
 
     xi = [jnp.clip(pos[a] - 0.5 - gf[a], 0.0, 1.0 - 1e-6) for a in range(3)]
     sel = [x >= 0.5 for x in xi]
@@ -577,9 +616,9 @@ def _correct_group(
         corrected = jnp.clip(pos[a] + direction[a] * max_step, 1.001, gmax[a])
         new_pos[a] = jnp.where(penetrates, corrected, new_pos[a])
 
-    for a in range(3):
-        out_ref[q0:q1, a] = jnp.where(validb, new_pos[a], 0.0)
-    out_ref[q0:q1, CH_VALID] = posq_ref[q0:q1, CH_VALID]
+    ch0, ch1 = _encode_pos(new_pos, validb, gf)
+    out_ref[q0:q1, CH_XY] = ch0
+    out_ref[q0:q1, CH_ZV] = ch1
 
 
 def _grid_window_scratch(bx, by, zp, hx):
@@ -917,7 +956,7 @@ def _advect_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim, with_solids,
 
     # air blocks (no particles anywhere in the extended window; clamped
     # duplicate rows only ever replicate empty border cells) skip everything
-    has_particles = jnp.any(posq_win[:, CH_VALID] > 0.5)
+    has_particles = jnp.any(_valid_bits(posq_win) == 1)
 
     @pl.when(jnp.logical_not(has_particles))
     def _empty():
@@ -933,9 +972,9 @@ def _advect_pack_kernel(*refs, s, k_out, bx, by, X, Y, grid_dim, with_solids,
             bx=bx, by=by, X=X, Y=Y, grid_dim=grid_dim,
             with_solids=with_solids, xpad=s, rowok_b=rowok[0], xs=xs,
         )
-        write_p, write_d, read_out_d = _ref_writers(outp_ref, outd_ref)
+        write_p, write_d, read_out_p, read_out_d = _ref_writers(outp_ref, outd_ref)
         _pack_core(
-            aposq, adyn, write_p, write_d, read_out_d,
+            aposq, adyn, write_p, write_d, read_out_p, read_out_d,
             axis=0, s=s, k_in=k, k_out=k_out, bx=bx, by=by, Zp=zp,
             dim_a=grid_dim[0],
             core=(slice(s, s + bx), slice(None), slice(None)),
@@ -1044,7 +1083,7 @@ def _correct_pack_kernel(
     posq_win = twinp.at[slot]
     dyn_win = twind.at[slot]
 
-    has_particles = jnp.any(posq_win[:, CH_VALID] > 0.5)
+    has_particles = jnp.any(_valid_bits(posq_win) == 1)
 
     @pl.when(jnp.logical_not(has_particles))
     def _empty():
@@ -1059,11 +1098,11 @@ def _correct_pack_kernel(
             xs=xs,
         )
         rowok = _rowok(0, i, j, (bx + 2 * s, by, zp), s=s, bx=bx, by=by, X=X, Y=Y)
-        write_p, write_d, read_out_d = _ref_writers(outp_ref, outd_ref)
+        write_p, write_d, read_out_p, read_out_d = _ref_writers(outp_ref, outd_ref)
         # dyn is untouched by correct (positions only), so the pack's payload
         # source for dyn is the PRE-correct window — same cells, same slots
         _pack_core(
-            aposq, dyn_win, write_p, write_d, read_out_d,
+            aposq, dyn_win, write_p, write_d, read_out_p, read_out_d,
             axis=0, s=s, k_in=k, k_out=k_out, bx=bx, by=by, Zp=zp,
             dim_a=grid_dim[0],
             core=(slice(s, s + bx), slice(None), slice(None)),

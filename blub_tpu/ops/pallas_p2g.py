@@ -6,14 +6,18 @@ speedup" over the naive walk): each program block DMAs its table window
 (core + 1-cell halo) into VMEM ONCE and accumulates the 20-offset window sweep
 entirely on-chip, instead of XLA's per-offset HBM re-reads (20x traffic).
 
-Inputs are the resident slot-major table (sim/slot_major.py): positions+valid
-``posq f32[K,4,X,Y,Zp]`` and the bf16-packed velocity/affine channels
-``dyn f32[K,6,X,Y,Zp]`` (unpacked to f32 in-register; all arithmetic is f32).
-The density-only pass reads ONLY posq — density needs no velocities. Arrays
-are UNPADDED in x/y: each block loads its halo window in 9 statically-placed
-rectangle DMAs (3 x-parts x 3 y-parts, edge parts clamped into bounds).
-Clamped duplicate rows need no masking: the in-kernel bin check
-(floor(pos-0.5) == cell + offset, on absolute positions) zeroes them exactly.
+Inputs are the resident slot-major table (sim/slot_major.py): rel16
+positions+valid ``posq f32[K,2,X,Y,Zp]`` (bit patterns; decoded to exact f32
+deltas in-register) and the bf16-packed velocity/affine channels
+``dyn f32[K,6,X,Y,Zp]``. The density-only pass reads ONLY posq — density
+needs no velocities. Arrays are UNPADDED in x/y: each block loads its halo
+window in 9 statically-placed rectangle DMAs (3 x-parts x 3 y-parts, edge
+parts clamped into bounds). Clamped duplicate rows and z-roll wraps are
+killed by an in-domain mask on the EXPECTED source coordinate (cell + offset
+in [0, dim)): the window parts clamp only at domain edges, so a row is a
+duplicate exactly when its expected coordinate is out of domain. (The old
+absolute-position bin check killed these as a side effect; cell-relative
+positions are locally valid everywhere, so the mask is now explicit.)
 
 Outputs are the raw accumulators:
   0..2: Shepard weight sums per velocity component
@@ -40,8 +44,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..sim.slot_major import (
+    CH_XY,
+    CH_ZV,
     NUM_DYN,
     NUM_POSQ,
+    POS_INV,
     SlotMajorTable,
     from_table,
     unpack_hi,
@@ -174,21 +181,22 @@ def _kernel(
     else:
         winp, wind = winp.at[slot], wind.at[slot]
 
-    # global coordinates of the output core; with_xs, xs_ref[0] is the global
-    # cell coordinate of array column 0 (spatial sharding: each shard's arrays
-    # are a halo-extended local window — parallel/sharded_sm.py)
-    gxi = i * bx + jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 0)
-    if with_xs:
-        gxi = gxi + xs_ref[0]
-    gx = gxi.astype(jnp.float32)
-    gy = (j * by + jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 1)).astype(jnp.float32)
-    gz = jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 2).astype(jnp.float32)
+    # ARRAY-frame coordinates of the output core, for the in-domain masks
+    # (module docstring). rel16 positions are cell-relative, so the weights
+    # need no coordinates at all — under sharding (with_xs) the global frame
+    # origin xs_ref is now irrelevant to this kernel and stays unread (the
+    # wrapper interface is shared with the advect kernels).
+    gxw = i * bx + jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 0)
+    gyw = j * by + jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 1)
+    gzw = jax.lax.broadcasted_iota(jnp.int32, (bx, by, z), 2)
 
     n_out = 2 if density_only else (7 if velocity_only else 8)
 
     # block-level early-exit: air blocks (no particles anywhere in the
     # window) are common in free-surface scenes and cost only this reduce
-    has_particles = jnp.any(winp[:, 3] > 0.5)
+    has_particles = jnp.any(
+        (jax.lax.bitcast_convert_type(winp[:, CH_ZV], jnp.int32) & 1) == 1
+    )
 
     @pl.when(jnp.logical_not(has_particles))
     def _empty():
@@ -200,6 +208,7 @@ def _kernel(
     # (~2-3 particles/cell vs capacity 16) leave the upper groups empty almost
     # everywhere — this is where P2G's VPU time goes (PERF.md round 3).
     k_slots = winp.shape[0]
+    wvbit = jax.lax.bitcast_convert_type(winp[:, CH_ZV], jnp.int32) & 1
     _GSZ = 4
 
     def _accumulate_group(g0, g1):
@@ -218,31 +227,41 @@ def _kernel(
                     g0:g1, :, 1 + o[0] : 1 + o[0] + bx, _YH + o[1] : _YH + o[1] + by, :
                 ]
                 if o[2] != 0:
-                    # read[z] = value[z+oz]; the wrap-around rows fail the bin
-                    # check below, so a cyclic lane roll is safe (VPU-cheap).
+                    # read[z] = value[z+oz]; wrap rows are killed by the
+                    # in-domain mask below, so a cyclic lane roll is safe.
                     s = jnp.roll(s, -o[2], axis=4)
                 return s
 
             slabp = slabify(winp)
-            p0 = slabp[:, 0]
-            p1 = slabp[:, 1]
-            p2 = slabp[:, 2]
-            # Only count particles whose dual bin really is (cell + off): this
-            # enforces the table's bin invariant in-kernel AND exactly zeroes
-            # the clamped duplicate window rows and z-roll wraps.
-            valid = (
-                slabp[:, 3]
-                * (jnp.floor(p0 - 0.5) == gx[None] + ox)
-                * (jnp.floor(p1 - 0.5) == gy[None] + oy)
-                * (jnp.floor(p2 - 0.5) == gz[None] + oz)
-            )
+            b0 = jax.lax.bitcast_convert_type(slabp[:, CH_XY], jnp.int32)
+            b1 = jax.lax.bitcast_convert_type(slabp[:, CH_ZV], jnp.int32)
+            rx = b0 >> 16
+            ry = (b0 << 16) >> 16
+            rz = b1 >> 16
+            # Valid = the slot's valid bit AND the expected source coordinate
+            # (cell + off) in-domain: kills clamped duplicate halo rows and
+            # z-roll wraps exactly (module docstring). Within the domain the
+            # table's bin invariant holds by rebin construction, so the dual
+            # bin IS cell + off and no position-based bin re-check is needed.
+            okd = jnp.ones((bx, by, z), jnp.bool_)
+            if ox:
+                okd = okd & (gxw + ox >= 0) & (gxw + ox < X)
+            if oy:
+                okd = okd & (gyw + oy >= 0) & (gyw + oy < Y)
+            if oz:
+                okd = okd & (gzw + oz >= 0) & (gzw + oz < z)
+            valid = ((b1 & 1) == 1) & okd[None]
+            validf = valid.astype(jnp.float32)
 
             # shared trilinear stagger factors: component weights differ only
             # in which axis uses the 1.0-staggered factor, so 6 factors serve
-            # all three components AND the cell-centered density
-            dx5 = gx[None] + 0.5 - p0
-            dy5 = gy[None] + 0.5 - p1
-            dz5 = gz[None] + 0.5 - p2
+            # all three components AND the cell-centered density. The rel16
+            # decode composes into the delta directly:
+            #   cell+0.5 - pos = cell+0.5 - ((cell+off)+1+r*2^-13)
+            #                  = (-0.5 - off) - r*2^-13     (exact f32)
+            dx5 = (-0.5 - ox) - rx.astype(jnp.float32) * POS_INV
+            dy5 = (-0.5 - oy) - ry.astype(jnp.float32) * POS_INV
+            dz5 = (-0.5 - oz) - rz.astype(jnp.float32) * POS_INV
             fx5 = jnp.clip(1.0 - jnp.abs(dx5), 0.0, 1.0)
             fy5 = jnp.clip(1.0 - jnp.abs(dy5), 0.0, 1.0)
             fz5 = jnp.clip(1.0 - jnp.abs(dz5), 0.0, 1.0)
@@ -256,9 +275,9 @@ def _kernel(
                 fz1 = jnp.clip(1.0 - jnp.abs(dz1), 0.0, 1.0)
                 ds = ((dx1, dy5, dz5), (dx5, dy1, dz5), (dx5, dy5, dz1))
                 ws = (
-                    fx1 * (fy5 * fz5) * valid,
-                    fx5 * (fy1 * fz5) * valid,
-                    (fx5 * fy5) * fz1 * valid,
+                    fx1 * (fy5 * fz5) * validf,
+                    fx5 * (fy1 * fz5) * validf,
+                    (fx5 * fy5) * fz1 * validf,
                 )
 
                 slabd = slabify(wind)
@@ -283,18 +302,21 @@ def _kernel(
 
             if not velocity_only:
                 # density: sample at cell centers
-                acc[-2] = acc[-2] + jnp.sum(fx5 * fy5 * fz5 * valid, axis=0)
+                acc[-2] = acc[-2] + jnp.sum(fx5 * fy5 * fz5 * validf, axis=0)
 
             if all(v <= 0 for v in off):
                 # fluid marking: particles whose PRIMAL cell (floor(pos)) is
-                # this cell all live in dual bins at offsets {-1,0}^3
+                # this cell all live in dual bins at offsets {-1,0}^3. Under
+                # the bin invariant floor(pos) - bin = (r >= 0), so the
+                # primal cell is this cell iff r {>= 0 at off -1, < 0 at 0}
+                # per axis — pure integer sign tests.
                 prim = (
                     valid
-                    * (jnp.floor(p0) == gx[None])
-                    * (jnp.floor(p1) == gy[None])
-                    * (jnp.floor(p2) == gz[None])
+                    & ((rx >= 0) if ox else (rx < 0))
+                    & ((ry >= 0) if oy else (ry < 0))
+                    & ((rz >= 0) if oz else (rz < 0))
                 )
-                acc[-1] = acc[-1] + jnp.sum(prim, axis=0)
+                acc[-1] = acc[-1] + jnp.sum(prim.astype(jnp.float32), axis=0)
 
         for q in range(n_out):
             out_ref[q] = out_ref[q] + acc[q]
@@ -308,7 +330,7 @@ def _kernel(
             vg = (
                 has_particles
                 if g0 == 0 and g1 >= k_slots
-                else jnp.any(winp[g0:g1, 3] > 0.5)
+                else jnp.any(wvbit[g0:g1] == 1)
             )
 
             @pl.when(vg)

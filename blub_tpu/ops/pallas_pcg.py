@@ -68,6 +68,7 @@ def _neg(off):
 def _kernel(
     p0_ref, rhs_ref, marker_ref, tol_ref, p_out, stats_out,
     *, X: int, Y: int, Z: int, max_iter: int, freq: int,
+    with_history: bool = False,
 ):
     marker = marker_ref[...]
     fluid = marker == float(CELL_FLUID)
@@ -116,47 +117,64 @@ def _kernel(
     s = z
     sigma = dot(z, r)
 
+    ii = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    lin = ii * 128 + jj  # history slot index (with_history; 1024 max)
+
     def cond(carry):
-        _, _, _, _, i, converged, _ = carry
+        i, converged = carry[4], carry[5]
         return (i < max_iter) & jnp.logical_not(converged)
 
     def body(carry):
-        p, r, s, sigma, i, _, err = carry
+        p, r, s, sigma, i, _, err, hist = carry
         As = apply_A(s)
         alpha = gdiv(sigma, dot(s, As))
         p = p + alpha * s
         r = r - alpha * As
         check = ((i % freq) == 0) | (i == max_iter - 1)
-        new_err = jnp.where(check, jnp.max(jnp.abs(r)), err)
+        # cur is computed unconditionally either way (where() evaluates both
+        # sides), so recording EVERY iteration into the history tile costs
+        # one select — same semantics as sim/pressure.py's with_history
+        cur = jnp.max(jnp.abs(r))
+        new_err = jnp.where(check, cur, err)
         converged = check & (new_err < tol)
+        if with_history:
+            hist = jnp.where(lin == i, cur, hist)
         zv = precondition(r)
         sigma_new = dot(zv, r)
         beta = gdiv(sigma_new, sigma)
         s = zv + beta * s
-        return (p, r, s, sigma_new, i + 1, converged, new_err)
+        return (p, r, s, sigma_new, i + 1, converged, new_err, hist)
 
-    p, r, _, _, iters, _, err = jax.lax.while_loop(
+    hist0 = jnp.full((8, 128), jnp.inf, jnp.float32)
+    p, r, _, _, iters, _, err, hist = jax.lax.while_loop(
         cond, body,
-        (p, r, s, sigma, jnp.int32(0), jnp.bool_(False), jnp.float32(jnp.inf)),
+        (p, r, s, sigma, jnp.int32(0), jnp.bool_(False), jnp.float32(jnp.inf),
+         hist0),
     )
     p_out[...] = p
-    # scalar outputs as a lane-masked tile (scatter doesn't lower in Mosaic)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    # scalar outputs as a lane-masked tile (scatter doesn't lower in Mosaic);
+    # with_history, rows [8, 16) carry the per-iteration max|r| history
     stats = jnp.where((ii == 0) & (jj == 0), err, 0.0)
     stats = jnp.where((ii == 0) & (jj == 1), iters.astype(jnp.float32), stats)
-    stats_out[...] = stats
+    stats_out[0:8] = stats
+    if with_history:
+        stats_out[8:16] = hist
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "freq", "interpret"))
-def _solve_call(p0, rhs, marker_f, tol_arr, *, max_iter: int, freq: int, interpret: bool):
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "freq", "interpret", "with_history")
+)
+def _solve_call(p0, rhs, marker_f, tol_arr, *, max_iter: int, freq: int,
+                interpret: bool, with_history: bool = False):
     xdim, ydim, zp = p0.shape
     # Z = full extent: the z padding rows are zero/SOLID already, so the
     # stencil masks only need the x/y edges; Z here is the PADDED extent
     # (padding cells behave exactly like the oracle's out-of-range zero fills
     # because marker=0 there).
     kernel = functools.partial(
-        _kernel, X=xdim, Y=ydim, Z=zp, max_iter=max_iter, freq=freq
+        _kernel, X=xdim, Y=ydim, Z=zp, max_iter=max_iter, freq=freq,
+        with_history=with_history,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -165,7 +183,7 @@ def _solve_call(p0, rhs, marker_f, tol_arr, *, max_iter: int, freq: int, interpr
         out_specs=[vm, vm],
         out_shape=[
             jax.ShapeDtypeStruct(p0.shape, jnp.float32),
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((16 if with_history else 8, 128), jnp.float32),
         ],
         compiler_params=None
         if interpret
@@ -197,23 +215,37 @@ def solve_pressure_pallas(
     config: SolverConfig,
     dt,
     interpret: bool = False,
+    with_history: bool = False,
 ) -> PressureSolveResult:
-    """Drop-in replacement for sim/pressure.py::solve_pressure."""
+    """Drop-in replacement for sim/pressure.py::solve_pressure.
+
+    ``with_history`` (VERDICT r4 next #7): the while-loop carries a (8,128)
+    history tile recording max|r| at EVERY iteration (same semantics as the
+    XLA solver's with_history), so `app profile --solver-history` reflects
+    the solver that actually runs in production. History mode compiles a
+    separate program; production solves keep the lean carry."""
     x, y, z = marker.shape
     zp = max(128, -(-z // 128) * 128)
+    max_iter = int(config.max_num_iterations)
+    assert max_iter <= 1024, "history tile holds 1024 iterations"
     tol = jnp.reshape(jnp.asarray(config.error_tolerance / dt, jnp.float32), (1,))
     p, stats = _solve_call(
         _zpad(initial_pressure, zp),
         _zpad(rhs, zp),
         _zpad(marker.astype(jnp.float32), zp),
         tol,
-        max_iter=int(config.max_num_iterations),
+        max_iter=max_iter,
         freq=max(int(config.error_check_frequency), 1),
         interpret=interpret,
+        with_history=with_history,
     )
     err = stats[0, 0]
     iters = stats[0, 1].astype(jnp.int32)
+    history = None
+    if with_history:
+        history = (stats[8:16].reshape(-1)[:max_iter] * dt).astype(jnp.float32)
     return PressureSolveResult(
         pressure=p[:, :, :z],
         stats=SolverStats(error=(err * dt).astype(jnp.float32), iterations=iters),
+        history=history,
     )

@@ -329,6 +329,7 @@ def solve_pressure_blocked(
     config: SolverConfig,
     dt,
     interpret: bool = False,
+    with_history: bool = False,
 ) -> PressureSolveResult:
     """Drop-in replacement for sim/pressure.py::solve_pressure for grids too
     large for the whole-VMEM kernel. Identical pass order, guards, and
@@ -382,23 +383,33 @@ def solve_pressure_blocked(
         return (i < max_iter) & jnp.logical_not(converged)
 
     def body(carry):
-        p, r, zv, s, sigma, i, beta, _, err = carry
+        p, r, zv, s, sigma, i, beta, _, err, hist = carry
         snew, As, dots = k1(beta, zv, s)
         alpha = _gdiv(sigma, jnp.sum(dots[:, 0]))
         p, r, zv, tiles = k2(alpha, p, snew, r, As)
         sigma_new = jnp.sum(tiles[:, 0])
         check = ((i % freq) == 0) | (i == max_iter - 1)
-        new_err = jnp.where(check, jnp.max(tiles[:, 1]), err)
+        cur = jnp.max(tiles[:, 1])
+        new_err = jnp.where(check, cur, err)
         converged = check & (new_err < tol)
         beta_new = _gdiv(sigma_new, sigma)
-        return (p, r, zv, snew, sigma_new, i + 1, beta_new, converged, new_err)
+        if with_history:
+            # per-iteration max|r| (the K2 kernel's reduce by-product — free
+            # here), same semantics as sim/pressure.py with_history
+            hist = hist.at[i].set(cur)
+        return (
+            p, r, zv, snew, sigma_new, i + 1, beta_new, converged, new_err,
+            hist,
+        )
 
     init = (
         p_init, r0, z0, z0, sigma0, jnp.int32(0), jnp.float32(0.0),
         jnp.bool_(False), jnp.float32(jnp.inf),
+        jnp.full((max_iter if with_history else 1,), jnp.inf, jnp.float32),
     )
-    p, _, _, _, _, iters, _, _, err = jax.lax.while_loop(cond, body, init)
+    p, _, _, _, _, iters, _, _, err, hist = jax.lax.while_loop(cond, body, init)
     return PressureSolveResult(
         pressure=p[:, :, :z],
         stats=SolverStats(error=(err * dt).astype(jnp.float32), iterations=iters),
+        history=(hist * dt).astype(jnp.float32) if with_history else None,
     )

@@ -29,13 +29,15 @@ THE SPEC, pinned by an independent per-cell simulator in
 tests/test_rebin_overflow_spec.py: stayers with slot q < k_out keep slot q;
 movers queue as tail stayers (ascending q), then offsets -s..-1,+1..+s (slots
 ascending within each); the queue fills empty output slots in ascending-slot
-order and overflow drops the queue's tail. All bin/flag arithmetic runs on the f32 position channels (posq) on
-the VPU — never a matmul (MXU f32 matmuls run as bf16 on this platform; see
+order and overflow drops the queue's tail. All bin/flag arithmetic is exact
+INTEGER ops on the rel16 position fields (slot_major.py; round 5) on the
+VPU — never a matmul (MXU f32 matmuls run as bf16 on this platform; see
 tests/test_pallas.py::test_rebin_is_bit_exact). Payload transport is
-bit-exact for both arrays: posq moves as mask*value (exact for 0/1 masks on
-finite positions), the bf16-packed dyn channels move as select + integer OR
-(their f32 bit patterns are not arithmetic values — a pair with hi == 0.0
-reads as an f32 DENORMAL and the VPU flushes those on add).
+bit-exact for both arrays: stayers move by select, mover arrivals by select
++ integer OR into exact-zero empty slots — both posq (rel16 bit patterns)
+and dyn (bf16 pairs) must NEVER pass through f32 arithmetic (a packed pair
+can alias an f32 denormal and the VPU flushes those on add); movers
+additionally rebase their rel16 field by the pack offset (_rebase).
 
 Windowing: resident arrays are unpadded in x/y. A haloed window is always
 three statically-placed parts per haloed axis (lead halo | core | trail
@@ -77,17 +79,54 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sim.slot_major import CH_VALID, NUM_DYN, NUM_POSQ, SlotMajorTable
+from ..sim.slot_major import CH_XY, CH_ZV, NUM_DYN, NUM_POSQ, SlotMajorTable
 
 _YH = 8  # y halo part size (sublane slices must be 8-aligned in start+size)
 _NCH = NUM_POSQ + NUM_DYN  # total transported channels (VMEM accounting)
 
 
-def _target(pos_a: jax.Array, dim_a: int) -> jax.Array:
-    """Destination bin along one axis: clip(floor(p - 0.5), 0, dim-1).
-    Matches sim/table.py::rebin's target_ax bit for bit (f32 compare of small
-    integers is exact)."""
-    return jnp.clip(jnp.floor(pos_a - 0.5), 0.0, float(dim_a - 1))
+def _bits(a: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+
+def _f32(a: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(a, jnp.float32)
+
+
+def _axis_rel(winp, axis: int) -> jax.Array:
+    """i32 rel16 field along `axis` from a posq window [k, 2, ...]."""
+    if axis == 0:
+        return _bits(winp[:, CH_XY]) >> 16
+    if axis == 1:
+        return (_bits(winp[:, CH_XY]) << 16) >> 16
+    return _bits(winp[:, CH_ZV]) >> 16
+
+
+def _win_valid(winp) -> jax.Array:
+    """bool valid mask from a posq window [k, 2, ...]."""
+    return (_bits(winp[:, CH_ZV]) & 1) == 1
+
+
+def _bin_shift(rel: jax.Array) -> jax.Array:
+    """Destination-bin shift along the rel axis: floor((r + 4096) / 8192) as
+    an exact arithmetic shift. Matches floor(pos - 0.5) - cell bit for bit
+    (slot_major.py: pos - cell = 1 + r * 2^-13)."""
+    return (rel + 4096) >> 13
+
+
+def _rebase(pay_i, ch: int, axis: int, off: int):
+    """Rebase a mover payload's rel16 field along `axis`: the candidate is
+    read from source cell g+off into destination cell g, so its
+    cell-relative coordinate grows by off (pos - (g+1) = rel_src + off
+    cells). Exact integer adds on the packed channel; the other half of the
+    channel is untouched (high-half adds can't carry into the low half;
+    low-half adds are remasked)."""
+    v = off * 8192
+    if (axis == 0 and ch == CH_XY) or (axis == 2 and ch == CH_ZV):
+        return pay_i + (v << 16)  # |off| <= 3: fits i32 as a Python literal
+    if axis == 1 and ch == CH_XY:
+        return (pay_i & -65536) | ((pay_i + v) & 0xFFFF)
+    return pay_i
 
 
 def _pack_core(
@@ -95,6 +134,7 @@ def _pack_core(
     wind,
     write_p,
     write_d,
+    read_out_p,
     read_out_d,
     *,
     axis: int,
@@ -115,43 +155,55 @@ def _pack_core(
 
     winp/wind: refs [k_in, ch, wx, wy, Zp] (wx/wy include halos for axis 0/1;
     axis 2 is halo-free). write_p(q, val)/write_d(q, val) set output slot q;
-    read_out_d(q) reads back the dyn output (for the integer-OR accumulate).
-    `core` slices a window array down to the output block; `rowok` masks
-    clamped duplicate halo rows; `gout_base` is the block's global coordinate
-    along the pack axis. ``x_off`` (axis 0 only, traced f32): global cell
+    read_out_p(q)/read_out_d(q) read the outputs back (mover arrivals
+    accumulate into empty slots via integer OR — BOTH arrays hold bit
+    patterns now: rel16 posq and bf16-pair dyn). `core` slices a window
+    array down to the output block; `rowok` masks clamped duplicate halo
+    rows; `gout_base` is the block's coordinate along the pack axis.
+    ``x_off`` (axis 0 only, traced f32-encoded integer): global cell
     coordinate of array column 0 — set when the arrays are a shard's
-    halo-extended local window (parallel/sharded_sm.py) so the array-frame
-    coordinates below compare correctly against the GLOBAL positions.
+    halo-extended local window (parallel/sharded_sm.py) so bin targets clip
+    against the GLOBAL domain bound.
+
+    rel16 positions (slot_major.py): all bin arithmetic is exact integer
+    ops — the target-bin shift is (r + 4096) >> 13, stay/arrival flags are
+    integer compares, and mover payloads rebase their rel16 field by the
+    pack offset with exact masked adds (_rebase). Empty slots stay exact
+    zeros (zero bits = invalid), so OR-accumulation into empty slots is
+    exact for every channel.
 
     ``wind=None`` transports positions only (write_d/read_out_d unused): the
     pack DECISIONS (stay flags, empty ranks, overflow victims) are a pure
     function of posq, so a posq-only pack is bit-identical in posq to the
     two-array pack."""
     a0 = s if axis == 0 else _YH
-    wvalid = winp[:, CH_VALID] > 0.5
-    wtarget = _target(winp[:, axis], dim_a)
-    actual_f = None
+    wvalid = _win_valid(winp)
+    shift = _bin_shift(_axis_rel(winp, axis))
     if rowok is not None:
         # rowok carries (actual, expected) info already folded to a bool; the
-        # mover check needs the actual coordinate as f32
-        rowok_b, actual_f = rowok
+        # mover check needs the actual coordinate (i32)
+        rowok_b, actual_i = rowok
     else:
         rowok_b = None
-        actual_f = (
-            gout_base + jax.lax.broadcasted_iota(jnp.int32, winp.shape[2:], axis)
-        ).astype(jnp.float32)
+        actual_i = gout_base + jax.lax.broadcasted_iota(
+            jnp.int32, winp.shape[2:], axis
+        )
     if x_off is not None:
         assert axis == 0
-        actual_f = actual_f + x_off
+        actual_i = actual_i + x_off.astype(jnp.int32)
+
+    # destination bin: clip(actual + shift, 0, dim-1) — matches
+    # sim/table.py::rebin's clip(floor(p - 0.5), 0, dim-1) exactly
+    wtarget = jnp.clip(actual_i[None] + shift, 0, dim_a - 1)
 
     ok = wvalid if rowok_b is None else (wvalid & rowok_b[None])
-    movers = jnp.any(ok & (wtarget != actual_f[None]))
+    movers = jnp.any(ok & (wtarget != actual_i[None]))
     needs = movers
     if k_out < k_in:
         # shrinking the slot dim additionally requires the tail slots of the
         # CORE cells to be empty, else the copy-through would truncate
-        tail = winp[k_out:, CH_VALID][(slice(None),) + core]
-        needs = needs | jnp.any(tail > 0.5)
+        tail = wvalid[k_out:][(slice(None),) + core]
+        needs = needs | jnp.any(tail)
 
     @pl.when(jnp.logical_not(needs))
     def _copy_through():
@@ -167,21 +219,21 @@ def _pack_core(
 
     @pl.when(needs)
     def _pack():
-        gout = (
-            gout_base + jax.lax.broadcasted_iota(jnp.int32, (bx, by, Zp), axis)
-        ).astype(jnp.float32)
+        gout = gout_base + jax.lax.broadcasted_iota(jnp.int32, (bx, by, Zp), axis)
         if x_off is not None:
-            gout = gout + x_off
+            gout = gout + x_off.astype(jnp.int32)
 
         # z pack: one "move tag" per slot (target - source z; sentinel where
         # invalid) folds valid+target into a single array, so each offset's
         # arrival flags cost ONE lane-roll + compare instead of two rolls +
         # two compares (rebin compute rides a ~4 ms memory floor, PERF.md —
-        # every rolled vreg on the 128-lane axis counts). Integer-valued f32
-        # compares are exact; the sentinel never equals a real offset.
+        # every rolled vreg on the 128-lane axis counts). The tag rides as
+        # f32 (small-integer convert is exact; Mosaic can't roll i1 vregs
+        # and f32 rolls are the proven path); the sentinel never equals a
+        # real offset.
         tag = None
         if axis == 2:
-            tag = jnp.where(wvalid, wtarget - gout[None], 1e6)
+            tag = jnp.where(wvalid, (wtarget - gout[None]).astype(jnp.float32), 1e6)
 
         def slab_flags(off):
             if axis == 0:
@@ -200,27 +252,42 @@ def _pack_core(
 
             lane_ok = (riota + off >= 0) & (riota + off < Zp)
             # arrival at z from source z+off: the source's tag is
-            # target - (z + off) = -off (roll the f32 tag: Mosaic can't
-            # roll i1 vregs)
+            # target - (z + off) = -off
             f = (_zroll(tag) == float(-off)) & lane_ok[None]
             return f, None
 
-        def payloads(k, off, sl):
-            if axis == 2 and off:
-                return (
-                    jnp.roll(winp[k], -off, axis=-1),
-                    jnp.roll(wind[k], -off, axis=-1) if wind is not None else None,
-                )
+        def payloads_stay(k):
+            """Offset-0 payloads (no rebase), f32 views for select-copy."""
             if axis == 2:
                 return winp[k], (wind[k] if wind is not None else None)
             return (
-                winp[k][(slice(None),) + sl],
-                wind[k][(slice(None),) + sl] if wind is not None else None,
+                winp[k][(slice(None),) + sl0],
+                wind[k][(slice(None),) + sl0] if wind is not None else None,
             )
+
+        def payloads_mover(k, off, sl):
+            """Mover payloads as INT bit patterns: posq channels with the
+            pack axis\' rel16 field rebased by `off` (_rebase), dyn as-is.
+            Returns ([p0_i, p1_i], d_i | None)."""
+            if axis == 2:
+                pp = jnp.roll(winp[k], -off, axis=-1) if off else winp[k]
+                dd = (
+                    (jnp.roll(wind[k], -off, axis=-1) if off else wind[k])
+                    if wind is not None
+                    else None
+                )
+            else:
+                pp = winp[k][(slice(None),) + sl]
+                dd = wind[k][(slice(None),) + sl] if wind is not None else None
+            pp_i = [
+                _rebase(_bits(pp[c]), c, axis, off) for c in range(NUM_POSQ)
+            ]
+            return pp_i, (_bits(dd) if dd is not None else None)
+
 
         # --- offset 0: stayers keep their slots; build the empty-slot ranks.
         # Flag math and the rank chain run unconditionally (they feed every
-        # later offset's assignment), but the 10-channel payload stores are
+        # later offset\'s assignment), but the 8-channel payload stores are
         # occupancy-gated per 4-slot group: packs fill lowest slots first, so
         # upper groups have no stayers almost everywhere (PERF.md round 3)
         f0, sl0 = slab_flags(0)
@@ -245,7 +312,7 @@ def _pack_core(
         def _stay_slots(qs):
             for q in qs:
                 sq = f0[q]
-                pay_p, pay_d = payloads(q, 0, sl0)
+                pay_p, pay_d = payloads_stay(q)
                 # select is pure data movement — bit-exact for both arrays
                 write_p(q, jnp.where(sq[None], pay_p, 0.0))
                 if wind is not None:
@@ -275,38 +342,32 @@ def _pack_core(
             for q0 in gq0s
         ]
 
-        def assign(fk, rk, pay_p, pay_d, rlo, rhi):
-            """Route a mover candidate's arrivals to the (rk+1)-th empty slot
+        def assign(fk, rk, pay_p_i, pay_d_i, rlo, rhi):
+            """Route a mover candidate\'s arrivals to the (rk+1)-th empty slot
             per cell, scalar-gated per 4-slot group (per-q regions made
-            Mosaic compile time explode). ``rlo``/``rhi`` bound the candidate's
-            possible landing ranks; conservative (wider) bounds are sound —
-            the per-cell ``hit`` test is exact — so callers hoist them per
-            OFFSET (round 4: the per-candidate min/max folds were a large
-            slice of the pack's serialized cross-lane-reduce latency)."""
-            pay_i = (
-                jax.lax.bitcast_convert_type(pay_d, jnp.int32)
-                if pay_d is not None
-                else None
-            )
+            Mosaic compile time explode). Both arrays accumulate by integer
+            OR into exact-zero empty slots. ``rlo``/``rhi`` bound the
+            candidate\'s possible landing ranks; conservative (wider) bounds
+            are sound — the per-cell ``hit`` test is exact — so callers
+            hoist them per OFFSET (round 4: the per-candidate min/max folds
+            were a large slice of the pack\'s serialized cross-lane-reduce
+            latency)."""
             for gi, q0 in enumerate(gq0s):
                 glo, ghi = gbounds[gi]
 
                 @pl.when((glo <= rhi) & (ghi >= rlo))
-                def _grp(q0=q0, fk=fk, rk=rk, pay_p=pay_p, pay_i=pay_i):
+                def _grp(q0=q0, fk=fk, rk=rk, pay_p_i=pay_p_i, pay_d_i=pay_d_i):
                     for q in range(q0, min(q0 + 4, k_out)):
                         hit = fk & empties[q] & (eranks[q] == rk + 1)
-                        m = hit.astype(jnp.float32)[None]
-                        write_p(q, None, add=m * pay_p)
-                        if pay_i is None:
+                        for c in range(NUM_POSQ):
+                            cur = _bits(read_out_p(q, c))
+                            sel = jnp.where(hit, pay_p_i[c], 0)
+                            write_p(q, _f32(cur | sel), c=c)
+                        if pay_d_i is None:
                             continue
-                        cur = jax.lax.bitcast_convert_type(
-                            read_out_d(q), jnp.int32
-                        )
-                        sel = jnp.where(hit[None], pay_i, 0)
-                        write_d(
-                            q,
-                            jax.lax.bitcast_convert_type(cur | sel, jnp.float32),
-                        )
+                        curd = _bits(read_out_d(q))
+                        seld = jnp.where(hit[None], pay_d_i, 0)
+                        write_d(q, _f32(curd | seld))
 
         r = jnp.zeros((bx, by, Zp), jnp.int32)
         # tail stayers (slots being shrunk away when k_out < k_in) become the
@@ -322,8 +383,8 @@ def _pack_core(
                 # (at most k_in - k_out) and usually skipped entirely
                 rlo = jnp.min(jnp.where(fk, rk, k_out)) + 1
                 rhi = jnp.max(jnp.where(fk, rk, -1)) + 1
-                pay_p, pay_d = payloads(q, 0, sl0)
-                assign(fk, rk, pay_p, pay_d, rlo, rhi)
+                pay_p_i, pay_d_i = payloads_mover(q, 0, sl0)
+                assign(fk, rk, pay_p_i, pay_d_i, rlo, rhi)
 
         for off in range(-s, s + 1):
             if off == 0:
@@ -364,29 +425,32 @@ def _pack_core(
                     @pl.when(mhs >= k + 1)
                     def _slot(fk=fk, rk=rks[k], k=k, off=off, sl=sl):
                         # below the tail, the exact per-candidate fold is
-                        # still worth one reduce: an empty slot's assign
+                        # still worth one reduce: an empty slot\'s assign
                         # bodies (group loop + payload selects/rolls) cost
                         # more than the fold it skips
                         @pl.when(jnp.any(fk))
                         def _active(fk=fk, rk=rk, k=k, off=off, sl=sl):
-                            pay_p, pay_d = payloads(k, off, sl)
-                            assign(fk, rk, pay_p, pay_d, rlo_off, rhi_off)
+                            pay_p_i, pay_d_i = payloads_mover(k, off, sl)
+                            assign(fk, rk, pay_p_i, pay_d_i, rlo_off, rhi_off)
 
 
 def _ref_writers(outp_ref, outd_ref):
-    def write_p(q, val, add=None):
-        if add is not None:
-            outp_ref[q] = outp_ref[q] + add
-        else:
+    def write_p(q, val, c=None):
+        if c is None:
             outp_ref[q] = val
+        else:
+            outp_ref[q, c] = val
 
-    def write_d(q, val, add=None):
+    def write_d(q, val):
         outd_ref[q] = val
+
+    def read_out_p(q, c=None):
+        return outp_ref[q] if c is None else outp_ref[q, c]
 
     def read_out_d(q):
         return outd_ref[q]
 
-    return write_p, write_d, read_out_d
+    return write_p, write_d, read_out_p, read_out_d
 
 
 _G0 = 8   # first occupancy-gated slot (packs fill lowest slots first)
@@ -410,8 +474,9 @@ def cell_group_any(posq) -> jax.Array:
     k = posq.shape[0]
     if k <= _G0:
         return jnp.zeros((0,) + posq.shape[2:4], jnp.bool_)
+    vbit = _bits(posq[:, CH_ZV]) & 1
     groups = [
-        jnp.any(posq[q0:q1, CH_VALID] > 0.5, axis=(0, 3))
+        jnp.any(vbit[q0:q1] == 1, axis=(0, 3))
         for q0, q1, _ in group_ranges(k)[1:]
     ]
     return jnp.stack(groups)
@@ -571,7 +636,7 @@ def _pipelined_window(
 
 
 def _rowok(axis, i, j, wshape, *, s, bx, by, X, Y):
-    """(rowok bool, actual f32) for the clamped halo parts along `axis`."""
+    """(rowok bool, actual i32) for the clamped halo parts along `axis`."""
     riota = jax.lax.broadcasted_iota(jnp.int32, wshape, axis)
     if axis == 0:
         a0 = jnp.clip(i * bx - s, 0, X - s)
@@ -591,7 +656,7 @@ def _rowok(axis, i, j, wshape, *, s, bx, by, X, Y):
             jnp.where(riota < _YH + by, j * by + riota - _YH, c0 + riota - _YH - by),
         )
         expected = j * by - _YH + riota
-    return (actual == expected, actual.astype(jnp.float32))
+    return (actual == expected, actual)
 
 
 def _stage_x_kernel(
@@ -608,9 +673,9 @@ def _stage_x_kernel(
         posq_hbm, dyn_hbm, winp, wind, sems, 0, s=s, bx=bx, by=by, X=X, Y=Y
     )
 
-    write_p, write_d, read_out_d = _ref_writers(outp_ref, outd_ref)
+    write_p, write_d, read_out_p, read_out_d = _ref_writers(outp_ref, outd_ref)
     _pack_core(
-        winp_v, wind_v, write_p, write_d, read_out_d,
+        winp_v, wind_v, write_p, write_d, read_out_p, read_out_d,
         axis=0, s=s, k_in=k_in, k_out=k_out, bx=bx, by=by, Zp=Zp, dim_a=dim_a,
         core=(slice(s, s + bx), slice(None), slice(None)),
         rowok=_rowok(0, i, j, winp_v.shape[2:], s=s, bx=bx, by=by, X=X, Y=Y),
@@ -672,9 +737,9 @@ def _stage_yz_kernel(
     wind[:, :, :, _YH:_YH + by] = cored[...]
     winp_v, wind_v = winp, wind
 
-    mw_p, mw_d, m_read = _ref_writers(midp, midd)
+    mw_p, mw_d, m_readp, m_readd = _ref_writers(midp, midd)
     _pack_core(
-        winp_v, wind_v, mw_p, mw_d, m_read,
+        winp_v, wind_v, mw_p, mw_d, m_readp, m_readd,
         axis=1, s=s, k_in=k_in, k_out=k_mid, bx=bx, by=by, Zp=Zp, dim_a=dim_y,
         core=(slice(None), slice(_YH, _YH + by), slice(None)),
         rowok=_rowok(1, i, j, winp_v.shape[2:], s=s, bx=bx, by=by, X=X, Y=Y),
@@ -682,10 +747,10 @@ def _stage_yz_kernel(
         gout_base=j * by,
     )
 
-    write_p, write_d, read_out_d = _ref_writers(outp_ref, outd_ref)
+    write_p, write_d, read_out_p, read_out_d = _ref_writers(outp_ref, outd_ref)
     riota = jax.lax.broadcasted_iota(jnp.int32, (bx, by, Zp), 2)
     _pack_core(
-        midp, midd, write_p, write_d, read_out_d,
+        midp, midd, write_p, write_d, read_out_p, read_out_d,
         axis=2, s=s, k_in=k_mid, k_out=k_out, bx=bx, by=by, Zp=Zp, dim_a=dim_z,
         core=(slice(None), slice(None), slice(None)),
         rowok=None,
@@ -695,13 +760,13 @@ def _stage_yz_kernel(
 
     # per-block surviving-particle count as a by-product (the lost counter
     # needs one table-wide count per rebin; this removes the XLA sweep).
-    # Vector-accumulate the valid channels first so the cross-lane fold runs
+    # Vector-accumulate the valid bits first so the cross-lane fold runs
     # ONCE, not per slot (round 4: serialized folds were a measurable slice
     # of the pack's latency)
-    vacc = outp_ref[0, CH_VALID]
+    vacc = _bits(outp_ref[0, CH_ZV]) & 1
     for q in range(1, k_out):
-        vacc = vacc + outp_ref[q, CH_VALID]
-    cnt = jnp.sum(vacc)
+        vacc = vacc + (_bits(outp_ref[q, CH_ZV]) & 1)
+    cnt = jnp.sum(vacc).astype(jnp.float32)
     ii = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     cnt_ref[...] = jnp.where((ii == 0) & (jj == 0), cnt, 0.0)
@@ -935,7 +1000,7 @@ def rebin_slot_major(
     if slack is None:
         slack = default_slack((posq.size + dyn.size) * 4, k)
     if before_count is None:
-        before_count = jnp.sum(posq[:, CH_VALID] > 0.5)
+        before_count = jnp.sum(_bits(posq[:, CH_ZV]) & 1)
 
     k_mid = k + slack
     bx, by = _pick_blocks_x(k, k_mid, X, Y, max_shift, posq.shape[4], _BUDGET)

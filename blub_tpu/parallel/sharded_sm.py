@@ -2,7 +2,7 @@
 1D device mesh — VERDICT r2 #3.
 
 The round-2 sharding story covered only the XLA ParticleTable layout; the
-resident slot-major table ``posq f32[K,4,X,Y,Zp]`` puts the decomposition
+resident slot-major table ``posq f32[K,2,X,Y,Zp]`` puts the decomposition
 axis at dim 2, and its kernels address the whole X extent through manual
 window DMAs, which GSPMD cannot partition. This module shard_maps each
 table-heavy kernel phase over the mesh axis instead:
@@ -72,7 +72,7 @@ from ..ops.pallas_advect import (
     correct_sm_pallas,
 )
 from ..ops.pallas_rebin import _rebin_stage_x, _rebin_stage_yz, default_slack
-from ..sim.slot_major import CH_VALID, NUM_DYN, NUM_POSQ, SlotMajorTable
+from ..sim.slot_major import NUM_DYN, NUM_POSQ, SlotMajorTable
 
 # shard_map PartitionSpecs for the two array families
 _P5 = lambda ax: P(None, None, ax)  # noqa: E731  [K, C, X, Y, Zp]
@@ -572,7 +572,7 @@ class ShardedPhases:
         self.ctx = ctx
         self.solve = solve_pressure
         X, Y, Z = params.grid_dim
-        self._slack = lambda k: default_slack(k * 10 * X * Y * zpad(Z) * 4, k)
+        self._slack = lambda k: default_slack(k * 8 * X * Y * zpad(Z) * 4, k)
 
     def k_mid(self, k: int) -> int:
         return k + self._slack(k)

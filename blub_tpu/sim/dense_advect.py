@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..core.types import CELL_SOLID
 from .advect import StaggeredSamples, _clamp_step_to_cell, _rk4, g2p_apic
 from .dense_transfer import _roll
+from .slot_major import quantize_pos
 from .table import ParticleTable
 
 import os
@@ -237,6 +238,8 @@ def advect_dense(
     new_pos = jnp.where(penetrates[..., None], corrected_pos, new_pos)
     velocity = jnp.where(penetrates[..., None], corrected_vel, velocity)
 
+    # rel16 position-grid store (slot_major.py module docstring)
+    new_pos = quantize_pos(new_pos)
     new_pos = jnp.where(table.valid[..., None], new_pos, table.pos)
     return dataclasses.replace(
         table,
@@ -280,6 +283,8 @@ def correct_particles_dense(
     direction, max_step, _ = _clamp_step_to_cell(pos, movement)
     corrected = jnp.clip(pos + direction * max_step[..., None], 1.001, grid_max)
     new_pos = jnp.where(penetrates[..., None], corrected, new_pos)
+    # rel16 position-grid store (slot_major.py module docstring)
+    new_pos = quantize_pos(new_pos)
     new_pos = jnp.where(table.valid[..., None], new_pos, table.pos)
     return dataclasses.replace(table, pos=new_pos)
 

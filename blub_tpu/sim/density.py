@@ -90,4 +90,7 @@ def correct_particles(
 
     direction, max_step, _ = _clamp_step_to_cell(pos, movement)
     corrected = jnp.clip(pos + direction * max_step[:, None], 1.001, grid_max)
-    return jnp.where(penetrates[:, None], corrected, new_pos)
+    from .slot_major import quantize_pos
+
+    # positions store on the rel16 grid (slot_major.py module docstring)
+    return quantize_pos(jnp.where(penetrates[:, None], corrected, new_pos))

@@ -7,33 +7,54 @@ transpose, twice per step (VERDICT.md weak #6). This module makes slot-major
 the *resident* representation: conversions happen only at state creation and
 host readback.
 
-Round-2 packing (PERF.md round-3 item 3): the table is TWO arrays,
+Round-2 packing (PERF.md round-3 item 3) + round-5 rel16 positions: the
+table is TWO arrays,
 
-  posq f32[K, 4, X, Y, Zp]   channels 0:3 position (global grid space, like
-                             the reference's grid-space particle positions,
-                             shader/simulation/particles.glsl:5-8), 3 valid
+  posq f32[K, 2, X, Y, Zp]   CELL-RELATIVE 16-bit fixed-point positions +
+                             the valid flag, bit-packed (see below)
   dyn  f32[K, 6, X, Y, Zp]   velocity + APIC affine C rows, stored as SIX
                              f32-width channels each holding TWO bf16 values
                              (hi|lo bit-packed):
                                0: vx|vy   1: vz|c00  2: c01|c02
                                3: c10|c11 4: c12|c20 5: c21|c22
 
-40 bytes/slot instead of 64. Positions stay f32 — the dense-table bin
-invariant moves exact bits (CLAUDE.md) — while velocity/affine are bf16:
-they are REGENERATED from the grid by G2P every substep, so quantization
-touches one P2G round trip, not an accumulating state. Packing pairs into
-f32 lanes (rather than a bf16 array) keeps every DMA/tiling rule identical
-to f32 — no (16, 128) sublane constraints — and kernels transport packed
-channels bit-exactly with select+add. Deviation: the reference stores
-velocities as three full vec4 rows (hybrid_fluid.rs:104-119); bf16 payload
-is a TPU-bandwidth tradeoff the GPU original never needed.
+32 bytes/slot (was 64 in round 1, 40 in rounds 2-4). The reference stores
+full f32 global positions + three vec4 velocity rows
+(shader/simulation/particles.glsl:5-8, hybrid_fluid.rs:104-119); both
+compressions are TPU-bandwidth tradeoffs the GPU original never needed —
+the four table-sweeping kernels price ~linearly in bytes/slot (PERF.md).
+
+rel16 positions (round 5, VERDICT r4 next #4): a slot at cell b stores
+  r_a = round((pos_a - (b_a + 1.0)) * 8192)   (signed 16-bit, per axis a)
+i.e. the position RELATIVE to its cell on a 2^-13-cell grid, range +-4
+cells. Channel bit layout (int32 views of the f32 lanes):
+  ch 0: rx << 16 | (ry & 0xFFFF)
+  ch 1: rz << 16 | valid      (valid = bit 0; low half otherwise free)
+Whenever |r| < 4 and the global position < 1024 cells, the decoded value
+  pos_a = b_a + 1.0 + r_a * 2^-13
+is EXACTLY representable in f32, and every encode/decode step below is
+exact f32 arithmetic — so storage, the bin invariant, and all window
+arithmetic move exact bits, at half the position bytes. Consequences:
+  - every position STORE quantizes to the 2^-13 grid. The oracle paths
+    (sim/advect.py, dense_advect.py, density.py) apply the same
+    quantize_pos() at their stores, so oracle<->kernel equivalence remains
+    BIT-exact (the quantized value is f32-representable, so the pt/flat
+    layouts keep plain f32 arrays holding quantized values);
+  - bin arithmetic becomes exact integer ops: target bin shift along an
+    axis is (r + 4096) >> 13; moving a slot between cells rebases r by
+    (cell delta) * 8192 — an exact masked integer add (see pallas_rebin);
+  - positions are translation-invariant (cell-relative), so shard halo
+    exchanges need no coordinate fixup;
+  - posq channels are BIT PATTERNS: kernels must transport them like the
+    packed dyn channels — select + integer OR, never f32 multiply/add
+    (a packed pair can alias an f32 denormal and the VPU flushes those).
 
 Invariants:
   - a valid slot at cell (x,y,z) holds a particle with
-    floor(pos - 0.5) == (x,y,z) (same as ParticleTable);
+    floor(pos - 0.5) == (x,y,z), i.e. r in [-4096, 4096) per axis;
   - invalid slots are ALL-ZERO across both arrays (the Pallas rebin pack
-    produces exact zeros for empty output slots, and every phase multiplies
-    by the valid channel);
+    produces exact zeros for empty output slots, and every phase masks by
+    the valid bit);
   - the z padding rows [Z, Zp) are all-zero.
 """
 
@@ -47,14 +68,64 @@ import jax.numpy as jnp
 
 from .table import ParticleTable
 
-CH_POS = slice(0, 3)
-CH_VALID = 3
-NUM_POSQ = 4
+CH_XY = 0  # rx << 16 | ry
+CH_ZV = 1  # rz << 16 | valid
+NUM_POSQ = 2
 NUM_DYN = 6
 BYTES_PER_SLOT = (NUM_POSQ + NUM_DYN) * 4
 
+POS_SCALE = 8192.0  # 2^13: rel16 resolution 2^-13 cells, signed range +-4
+POS_INV = 2.0 ** -13
+
 _HI_MASK = -65536  # 0xFFFF0000 as a (weakly-typed) int32 literal: a traced
 _LO_MASK = 0xFFFF  # jnp constant would be captured by Pallas kernel closures
+
+
+def quantize_pos(pos):
+    """Quantize positions to the rel16 grid (multiples of 2^-13 cells) —
+    round-half-even, exact f32 for |pos| < 1024. THE quantization every
+    position store applies (oracle paths and kernels alike); see module
+    docstring for why oracle<->kernel equivalence stays bit-exact."""
+    return jnp.round(pos * POS_SCALE) * POS_INV
+
+
+def pos_to_rel(pos_a, cell_a):
+    """Encode one axis: f32 position + f32 integer cell coordinate ->
+    i32 rel on the 2^-13 grid. Exact: (pos - cell) is exact f32 for nearby
+    cell (both < 1024, difference < 8), *8192 is exact, round matches
+    quantize_pos bit for bit."""
+    return jnp.round((pos_a - cell_a - 1.0) * POS_SCALE).astype(jnp.int32)
+
+
+def rel_to_pos(r_a, cell_a):
+    """Decode one axis: i32 rel + f32 integer cell coordinate -> f32 global
+    position (exact; <= 23 significant bits)."""
+    return cell_a + 1.0 + r_a.astype(jnp.float32) * POS_INV
+
+
+def pack_posq(rx, ry, rz, vbit):
+    """i32 rels + i32 0/1 valid -> the two posq bit-pattern channels (f32)."""
+    ch0 = (rx << 16) | (ry & _LO_MASK)
+    ch1 = (rz << 16) | vbit
+    return (
+        jax.lax.bitcast_convert_type(ch0, jnp.float32),
+        jax.lax.bitcast_convert_type(ch1, jnp.float32),
+    )
+
+
+def unpack_posq(ch0, ch1):
+    """posq channels -> (rx, ry, rz i32, vbit i32 0/1). Arithmetic shifts
+    sign-extend the 16-bit fields."""
+    b0 = jax.lax.bitcast_convert_type(ch0, jnp.int32)
+    b1 = jax.lax.bitcast_convert_type(ch1, jnp.int32)
+    return b0 >> 16, (b0 << 16) >> 16, b1 >> 16, b1 & 1
+
+
+def valid_mask(posq):
+    """bool valid mask from a posq array/window slice [..., 2, ...] indexed
+    on the channel axis at position 1 ([K, 2, X, Y, Zp] or a sub-window)."""
+    b1 = jax.lax.bitcast_convert_type(posq[:, CH_ZV], jnp.int32)
+    return (b1 & 1) == 1
 
 
 def pack_pair(hi: jax.Array, lo: jax.Array) -> jax.Array:
@@ -117,8 +188,8 @@ def zpad(z: int) -> int:
 
 @dataclasses.dataclass
 class SlotMajorTable:
-    """posq: f32[K,4,X,Y,Zp]; dyn: f32[K,6,X,Y,Zp] (bf16 pairs);
-    lost: i32 cumulative overflow drops."""
+    """posq: f32[K,2,X,Y,Zp] (rel16 bit patterns); dyn: f32[K,6,X,Y,Zp]
+    (bf16 pairs); lost: i32 cumulative overflow drops."""
 
     posq: jax.Array
     dyn: jax.Array
@@ -134,13 +205,12 @@ class SlotMajorTable:
         return self.posq.shape[-1]
 
     def num_particles(self) -> jax.Array:
-        return jnp.sum(self.posq[:, CH_VALID].astype(jnp.int32))
+        return jnp.sum(valid_mask(self.posq).astype(jnp.int32))
 
     def max_speed(self) -> jax.Array:
         vel, _ = unpack_dyn([self.dyn[:, c] for c in range(NUM_DYN)])
-        sq = (vel[0] * vel[0] + vel[1] * vel[1] + vel[2] * vel[2]) * self.posq[
-            :, CH_VALID
-        ]
+        validf = valid_mask(self.posq).astype(jnp.float32)
+        sq = (vel[0] * vel[0] + vel[1] * vel[1] + vel[2] * vel[2]) * validf
         return jnp.sqrt(jnp.max(sq)).astype(jnp.float32)
 
 
@@ -149,9 +219,16 @@ jax.tree_util.register_dataclass(
 )
 
 
+def _cell_iota(shape_kxyz, axis: int) -> jax.Array:
+    """f32 cell coordinate along grid axis `axis` for a [K,X,Y,Zp] shape."""
+    return jax.lax.broadcasted_iota(jnp.float32, shape_kxyz, 1 + axis)
+
+
 def from_table(table: ParticleTable) -> SlotMajorTable:
     """[X,Y,Z,K,*] ParticleTable -> resident slot-major (init/tests only).
-    Velocity/affine are quantized to bf16 here."""
+    Velocity/affine quantize to bf16 here; positions quantize to the rel16
+    grid (a no-op when the table already holds quantize_pos'd values, which
+    every production path does)."""
     grid_dim = table.grid_dim
     k = table.capacity
     z = grid_dim[2]
@@ -161,10 +238,14 @@ def from_table(table: ParticleTable) -> SlotMajorTable:
         a = jnp.transpose(a, (3, 0, 1, 2))
         return jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, zpad(z) - z)))
 
-    posq = jnp.stack(
-        [to_kxyz(table.pos[..., a] * validf) for a in range(3)] + [to_kxyz(validf)],
-        axis=1,
-    )
+    vbit = to_kxyz(validf).astype(jnp.int32)
+    shape = vbit.shape
+    rels = []
+    for a in range(3):
+        pa = to_kxyz(table.pos[..., a] * validf)
+        rels.append(jnp.where(vbit == 1, pos_to_rel(pa, _cell_iota(shape, a)), 0))
+    ch0, ch1 = pack_posq(rels[0], rels[1], rels[2], vbit)
+    posq = jnp.stack([ch0, ch1], axis=1)
     vel = [to_kxyz(table.vel[..., a] * validf) for a in range(3)]
     aff = [
         to_kxyz(table.affine[..., i, j] * validf) for i in range(3) for j in range(3)
@@ -181,7 +262,14 @@ def to_table(sm: SlotMajorTable) -> ParticleTable:
     def to_xyzk(a):  # [K,X,Y,Zp] -> [X,Y,Z,K]
         return jnp.transpose(a[:, :, :, :z], (1, 2, 3, 0))
 
-    pos = jnp.stack([to_xyzk(sm.posq[:, a]) for a in range(3)], axis=-1)
+    rx, ry, rz, vbit = unpack_posq(sm.posq[:, CH_XY], sm.posq[:, CH_ZV])
+    shape = vbit.shape
+    validb = vbit == 1
+    pos_k = [
+        jnp.where(validb, rel_to_pos(r, _cell_iota(shape, a)), 0.0)
+        for a, r in enumerate((rx, ry, rz))
+    ]
+    pos = jnp.stack([to_xyzk(p) for p in pos_k], axis=-1)
     vel_p, aff_p = unpack_dyn([sm.dyn[:, c] for c in range(NUM_DYN)])
     vel = jnp.stack([to_xyzk(v) for v in vel_p], axis=-1)
     aff = jnp.stack([to_xyzk(a) for a in aff_p], axis=-1).reshape(
@@ -191,6 +279,6 @@ def to_table(sm: SlotMajorTable) -> ParticleTable:
         pos=pos,
         vel=vel,
         affine=aff,
-        valid=to_xyzk(sm.posq[:, CH_VALID]) > 0.5,
+        valid=to_xyzk(validb),
         lost=sm.lost,
     )

@@ -3,7 +3,7 @@ density position correction.
 
 Same math as dense_transfer.marker_from_table / dense_advect.advect_dense /
 correct_particles_dense (the oracles, layout [X,Y,Z,K,*]) but consuming the
-resident ``SlotMajorTable`` (posq f32[K,4,X,Y,Zp] + bf16-packed dyn
+resident ``SlotMajorTable`` (rel16 posq f32[K,2,X,Y,Zp] + bf16-packed dyn
 f32[K,6,X,Y,Zp], see slot_major.py) directly — no transposes.
 Grid inputs ([X,Y,Z]) are zero-padded to Zp on entry (cheap; tables are 16x
 bigger than grids). Equivalence is regression-tested per phase
@@ -26,7 +26,16 @@ from ..core.types import CELL_AIR, CELL_FLUID, CELL_SOLID
 from .advect import StaggeredSamples, _clamp_step_to_cell, _rk4, _trilinear, g2p_apic
 from .dense_advect import MAX_ADVECT_MOVE, MAX_CORRECT_MOVE
 from .gridops import border_mask
-from .slot_major import CH_VALID, SlotMajorTable, pack_dyn
+from .slot_major import (
+    CH_XY,
+    CH_ZV,
+    SlotMajorTable,
+    pack_dyn,
+    pack_posq,
+    pos_to_rel,
+    rel_to_pos,
+    unpack_posq,
+)
 
 
 def _pad_grid(g: jax.Array, zp: int) -> jax.Array:
@@ -52,8 +61,24 @@ def _cellf(shape4) -> jax.Array:
 
 
 def _pos_t(posq: jax.Array) -> jax.Array:
-    """pos channels -> [K,X,Y,Zp,3]."""
-    return jnp.moveaxis(posq[:, 0:3], 1, -1)
+    """rel16 posq channels -> decoded global positions [K,X,Y,Zp,3] (exact;
+    slot_major.py module docstring). Invalid slots decode to garbage finite
+    values; every consumer masks by the valid bit."""
+    rx, ry, rz, _ = unpack_posq(posq[:, CH_XY], posq[:, CH_ZV])
+    shape = rx.shape
+    return jnp.stack(
+        [
+            rel_to_pos(r, jax.lax.broadcasted_iota(jnp.float32, shape, 1 + a))
+            for a, r in enumerate((rx, ry, rz))
+        ],
+        axis=-1,
+    )
+
+
+def _validb(posq: jax.Array) -> jax.Array:
+    """bool[K,X,Y,Zp] valid mask from the rel16 posq channels."""
+    b1 = jax.lax.bitcast_convert_type(posq[:, CH_ZV], jnp.int32)
+    return (b1 & 1) == 1
 
 
 def marker_from_counts(fluid_count: jax.Array, grid_dim, solid_occupancy) -> jax.Array:
@@ -76,10 +101,15 @@ def marker_from_slot_major(sm: SlotMajorTable, solid_occupancy) -> jax.Array:
     dense_transfer.marker_from_table (same 3-bit primal-offset code rolls)."""
     x, y, z = sm.grid_dim
     data = sm.posq
-    pos = data[:, 0:3]  # [K,3,X,Y,Zp]
-    valid = data[:, CH_VALID] > 0.5  # [K,X,Y,Zp]
-    prim = jnp.floor(pos) - jnp.floor(pos - 0.5)  # 0/1 f32
-    code = prim[:, 0] + 2.0 * prim[:, 1] + 4.0 * prim[:, 2]
+    valid = _validb(data)  # [K,X,Y,Zp]
+    # primal offset per axis: floor(pos) - floor(pos - 0.5) = (r >= 0) under
+    # the bin invariant (pos - b in [0.5, 1.5) <=> r in [-4096, 4096))
+    rx, ry, rz, _ = unpack_posq(data[:, CH_XY], data[:, CH_ZV])
+    code = (
+        (rx >= 0).astype(jnp.float32)
+        + 2.0 * (ry >= 0).astype(jnp.float32)
+        + 4.0 * (rz >= 0).astype(jnp.float32)
+    )
     fluid = jnp.zeros(data.shape[2:], jnp.bool_)
     for off in product((-1, 0), (-1, 0), (-1, 0)):
         need = float(-off[0] + 2 * -off[1] + 4 * -off[2])
@@ -176,15 +206,34 @@ def _e(axis: int, sign: int):
     return tuple(off)
 
 
+def _pack_pos_sm(new_pos, validb) -> jax.Array:
+    """Encode global positions back into the rel16 posq channels (quantizing
+    to the 2^-13 grid exactly as the Pallas kernels and the oracle stores
+    do), masking by validity so invalid slots stay exactly zero."""
+    shape = validb.shape
+    vbit = validb.astype(jnp.int32)
+    rels = [
+        jnp.where(
+            validb,
+            pos_to_rel(
+                new_pos[..., a],
+                jax.lax.broadcasted_iota(jnp.float32, shape, 1 + a),
+            ),
+            0,
+        )
+        for a in range(3)
+    ]
+    ch0, ch1 = pack_posq(rels[0], rels[1], rels[2], vbit)
+    return jnp.stack([ch0, ch1], axis=1)
+
+
 def _repack(
     posq: jax.Array, new_pos, new_vel, new_aff, validb
 ):
     """Rebuild (posq, dyn), masking writes by validity so invalid slots (and
     z padding) stay exactly zero; velocity/affine quantize-pack to bf16
-    pairs exactly as the Pallas advect kernel does (slot_major.pack_dyn)."""
-    vf = validb[..., None]
-    pos_c = jnp.moveaxis(jnp.where(vf, new_pos, 0.0), -1, 1)
-    new_posq = jnp.concatenate([pos_c, posq[:, CH_VALID : CH_VALID + 1]], axis=1)
+    pairs and positions to rel16 exactly as the Pallas advect kernel does."""
+    new_posq = _pack_pos_sm(new_pos, validb)
     vel_q = [jnp.where(validb, new_vel[..., a], 0.0) for a in range(3)]
     aff_q = [
         jnp.where(validb, new_aff[..., i, j], 0.0)
@@ -212,7 +261,7 @@ def advect_slot_major(
     vel_p = tuple(_pad_grid(v, zp) for v in vel_grids)
 
     pos = _pos_t(data)  # [K,X,Y,Zp,3]
-    validb = data[:, CH_VALID] > 0.5
+    validb = _validb(data)
     cellf = _cellf(data.shape[:1] + data.shape[2:])
     xi = pos - 0.5 - cellf
     sel = xi >= 0.5
@@ -296,7 +345,7 @@ def correct_slot_major(
     change_p = tuple(_pad_grid(c, zp) for c in change)
 
     pos = _pos_t(data)
-    validb = data[:, CH_VALID] > 0.5
+    validb = _validb(data)
     cellf = _cellf(data.shape[:1] + data.shape[2:])
 
     samples = _staggered_corners_sm(change_p, pos)
@@ -316,8 +365,7 @@ def correct_slot_major(
     corrected = jnp.clip(pos + direction * max_step[..., None], 1.001, grid_max)
     new_pos = jnp.where(penetrates[..., None], corrected, new_pos)
 
-    pos_c = jnp.moveaxis(jnp.where(validb[..., None], new_pos, 0.0), -1, 1)
-    new_posq = jnp.concatenate([pos_c, data[:, CH_VALID : CH_VALID + 1]], axis=1)
+    new_posq = _pack_pos_sm(new_pos, validb)
     # dyn untouched: position correction moves particles only
     return SlotMajorTable(
         posq=new_posq, dyn=sm.dyn, lost=sm.lost, grid_dim=sm.grid_dim

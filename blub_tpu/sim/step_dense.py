@@ -242,7 +242,7 @@ class LocalPhases:
         self.solve = _solver_ladder(params, interp)
         self._gridfix = pallas_gridfix.supports(params.grid_dim)
         X, Y, Z = params.grid_dim
-        self._slack = lambda k: default_slack(k * 10 * X * Y * zpad(Z) * 4, k)
+        self._slack = lambda k: default_slack(k * 8 * X * Y * zpad(Z) * 4, k)
         self._advect_fused = lambda k, solids: pallas_advect.fused_supports(
             params.grid_dim, k, k + self._slack(k), solids
         )

@@ -75,6 +75,8 @@ def from_positions(pos_np: np.ndarray, grid_dim: Tuple[int, int, int], capacity:
     x, y, z = grid_dim
     k = capacity
     pos_np = np.asarray(pos_np, np.float32)
+    # rel16 position grid (sim/slot_major.quantize_pos; no-op on seeds)
+    pos_np = (np.round(pos_np * np.float32(8192.0)) * np.float32(2.0 ** -13)).astype(np.float32)
     n = pos_np.shape[0]
     tpos = np.zeros((x, y, z, k, 3), np.float32)
     tvalid = np.zeros((x, y, z, k), bool)

@@ -37,8 +37,9 @@ The phase list mirrors step_dense._step_sm's named scopes (fused path):
               marker in, mid out
   ph_rebin1   fused y+z pack: mid in (gated windows), table out
 
-Grid arrays are f32[X, Y, Zp]; the table is posq f32[K,4,X,Y,Zp] + dyn
-f32[K,6,X,Y,Zp] (vel+affine bf16-packed into 6 f32 channels, 40 B/slot).
+Grid arrays are f32[X, Y, Zp]; the table is posq f32[K,2,X,Y,Zp] (rel16
+cell-relative positions + valid, round 5) + dyn f32[K,6,X,Y,Zp] (vel+affine
+bf16-packed into 6 f32 channels) — 32 B/slot.
 Windowed kernels re-read halo rows; halos are <=2 of 64-256 rows, so the
 model folds them into a 3% overhead factor rather than tracking per-kernel.
 """
@@ -60,7 +61,7 @@ k_eff = min(K, 8) + max(K - 8, 0) * OCC_HI
 
 def table(k=None):
     k = k_eff if k is None else k
-    return (4 + 6) * G * k          # posq + dyn channels
+    return (2 + 6) * G * k          # posq + dyn channels (rel16, round 5)
 
 
 HALO_OVERHEAD = 1.03

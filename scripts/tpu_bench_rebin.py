@@ -19,7 +19,16 @@ import numpy as np
 from blub_tpu.core.seeding import add_fluid_cube
 from blub_tpu.ops.pallas_rebin import rebin_slot_major, supports
 from blub_tpu.sim import table as T
-from blub_tpu.sim.slot_major import CH_VALID, from_table
+from blub_tpu.sim.slot_major import (
+    CH_XY,
+    CH_ZV,
+    from_table,
+    pack_posq,
+    pos_to_rel,
+    quantize_pos,
+    rel_to_pos,
+    unpack_posq,
+)
 
 QUICK = "quick" in sys.argv
 argv = [a for a in sys.argv[1:] if a != "quick"]
@@ -35,15 +44,21 @@ print(f"particles={pos.shape[0]}", flush=True)
 
 
 def jiggle(sm, i, amp):
-    """Deterministic pseudo-random position delta, |delta| <= amp per axis."""
+    """Deterministic pseudo-random position delta, |delta| <= amp per axis
+    (rel16 decode -> move -> quantize -> re-encode)."""
     posq = sm.posq
-    validf = posq[:, CH_VALID]
-    new = []
-    for a in range(3):
-        p = posq[:, a]
+    rx, ry, rz, vbit = unpack_posq(posq[:, CH_XY], posq[:, CH_ZV])
+    validb = vbit == 1
+    shape = vbit.shape
+    rels = []
+    for a, r in enumerate((rx, ry, rz)):
+        cell = jax.lax.broadcasted_iota(jnp.float32, shape, 1 + a)
+        p = rel_to_pos(r, cell)
         d = amp * jnp.sin(p * 17.17 + 3.7 * p * p + i.astype(jnp.float32))
-        new.append(jnp.clip(p + d, 1.001, G[a] - 1.001) * validf)
-    posq = jnp.stack(new + [validf], axis=1)
+        pq = quantize_pos(jnp.clip(p + d, 1.001, G[a] - 1.001))
+        rels.append(jnp.where(validb, pos_to_rel(pq, cell), 0))
+    ch0, ch1 = pack_posq(rels[0], rels[1], rels[2], vbit)
+    posq = jnp.stack([ch0, ch1], axis=1)
     import dataclasses
 
     return dataclasses.replace(sm, posq=posq)

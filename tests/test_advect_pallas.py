@@ -43,8 +43,13 @@ def _assert_tables_close(ref_sm, got_sm, pos_only=False):
     ref, got = to_table(ref_sm), to_table(got_sm)
     valid = np.asarray(ref.valid)
     np.testing.assert_array_equal(valid, np.asarray(got.valid))
+    # one rel16 quantum (2^-13): the kernel and the XLA twin compute new_pos
+    # with different op order (1 f32 ulp apart at worst, as before round 5);
+    # when such a pair straddles a quantize_pos rounding boundary the stored
+    # values differ by one quantum. The fused-path tests below remain
+    # BIT-exact (same kernel on both sides).
     np.testing.assert_allclose(
-        np.asarray(ref.pos)[valid], np.asarray(got.pos)[valid], atol=1e-5
+        np.asarray(ref.pos)[valid], np.asarray(got.pos)[valid], atol=1.3e-4
     )
     if not pos_only:
         # vel/affine are bf16-quantized by both sides from f32 values that
@@ -58,9 +63,11 @@ def _assert_tables_close(ref_sm, got_sm, pos_only=False):
             rtol=1e-2, atol=1e-2,
         )
     # invalid slots and z padding must stay exactly zero
-    inval = 1.0 - np.asarray(got_sm.posq[:, 3:4])
-    assert not np.any(np.asarray(got_sm.posq[:, :3]) * inval)
-    assert not np.any(np.asarray(got_sm.dyn) * inval)
+    # integer views: a valid slot's rel16/bf16 bit patterns can alias NaN as
+    # f32, and NaN * False = NaN would trip np.any on the float view
+    inval = (np.asarray(got_sm.posq[:, 1:2]).view(np.int32) & 1) == 0
+    assert not np.any(np.asarray(got_sm.posq).view(np.int32) * inval)
+    assert not np.any(np.asarray(got_sm.dyn).view(np.int32) * inval)
 
 
 def test_advect_kernel_matches_oracle():
@@ -129,7 +136,7 @@ def test_advect_pack_fused_is_bit_exact():
         ref, ms_ref = advect_sm_pallas(
             sm, vel, occ, sv, dt, interpret=True, with_max_speed=True
         )
-        n0 = jnp.sum(sm.posq[:, 3] > 0.5).astype(jnp.int32)
+        n0 = sm.num_particles()
         ref = rebin_slot_major(ref, max_shift=2, interpret=True, before_count=n0)
 
         k = sm.capacity
@@ -166,7 +173,7 @@ def test_correct_pack_fused_is_bit_exact():
     marker = marker_from_table(to_table(sm), None)
 
     ref = correct_sm_pallas(sm, change, marker, interpret=True)
-    n0 = jnp.sum(sm.posq[:, 3] > 0.5).astype(jnp.int32)
+    n0 = sm.num_particles()
     ref = rebin_slot_major(ref, max_shift=1, interpret=True, before_count=n0)
 
     k = sm.capacity

@@ -63,6 +63,8 @@ def test_rebin_is_bit_exact():
     newpos = np.clip(
         np.asarray(tab.pos) + move * np.asarray(tab.valid)[..., None], 1.001, np.array(G) - 1.001
     )
+    # rel16 grid (sim/slot_major.quantize_pos) — see test_rebin_pallas._q
+    newpos = (np.round(newpos * np.float32(8192.0)) * np.float32(2.0 ** -13)).astype(np.float32)
     tab = dataclasses.replace(tab, pos=jnp.asarray(newpos))
     out = T.rebin(tab, max_shift=1)
     # every surviving position must be bit-identical to an input one

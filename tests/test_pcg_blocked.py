@@ -98,3 +98,25 @@ def test_blocked_pcg_warm_start():
     ref = solve_pressure(first.pressure, jnp.asarray(rhs), marker, cfg, dt)
     assert int(again.stats.iterations) <= 3
     assert int(again.stats.iterations) == int(ref.stats.iterations)
+
+
+def test_blocked_history_matches_stats():
+    """with_history on the blocked beyond-VMEM solver (VERDICT r4 next #7)."""
+    import jax.numpy as jnp
+
+    marker, rhs = _problem(seed=4)
+    cfg = SolverConfig(max_num_iterations=24, error_check_frequency=2)
+    dt = 1.0 / 120.0
+    p0 = jnp.zeros(marker.shape, jnp.float32)
+
+    def run(p0, rhs, marker):
+        res = _spb(p0, rhs, marker, cfg, dt, interpret=True, with_history=True)
+        return res.stats.error, res.stats.iterations, res.history
+
+    err, iters, hist = jax.jit(run)(p0, jnp.asarray(rhs), marker)
+    hist = np.asarray(jax.device_get(hist))
+    iters = int(iters)
+    assert hist.shape == (cfg.max_num_iterations,)
+    assert np.isfinite(hist[:iters]).all()
+    assert np.isinf(hist[iters:]).all()
+    np.testing.assert_allclose(hist[iters - 1], float(jax.device_get(err)), rtol=0, atol=0)

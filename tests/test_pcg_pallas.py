@@ -61,3 +61,35 @@ def test_pcg_kernel_warm_start():
     ref = solve_pressure(first.pressure, jnp.asarray(rhs), marker, cfg, dt)
     assert int(again.stats.iterations) <= 3
     assert int(again.stats.iterations) == int(ref.stats.iterations)
+
+
+def test_pcg_kernel_history_matches_stats():
+    """with_history (VERDICT r4 next #7): the whole-VMEM kernel's history
+    tile records max|r| at every iteration; the entry at the exit iteration
+    equals the stats error, the tail past exit stays +inf, and the values
+    match the XLA solver's with_history run exactly (same arithmetic)."""
+    import jax
+    import jax.numpy as jnp
+
+    marker, rhs = _problem(seed=5)
+    cfg = SolverConfig(max_num_iterations=24, error_check_frequency=2)
+    dt = 1.0 / 120.0
+    p0 = jnp.zeros(G, jnp.float32)
+
+    def run(p0, rhs, marker):
+        res = solve_pressure_pallas(
+            p0, rhs, marker, cfg, dt, interpret=True, with_history=True
+        )
+        return res.pressure, res.stats.error, res.stats.iterations, res.history
+
+    _, err, iters, hist = jax.jit(run)(p0, jnp.asarray(rhs), marker)
+    hist = np.asarray(jax.device_get(hist))
+    iters = int(iters)
+    assert hist.shape == (cfg.max_num_iterations,)
+    assert 0 < iters <= cfg.max_num_iterations
+    assert np.isfinite(hist[:iters]).all()
+    assert np.isinf(hist[iters:]).all()
+    np.testing.assert_allclose(hist[iters - 1], float(err), rtol=0, atol=0)
+
+    ref = solve_pressure(p0, jnp.asarray(rhs), marker, cfg, dt, with_history=True)
+    np.testing.assert_array_equal(hist[:iters], np.asarray(ref.history)[:iters])

@@ -32,16 +32,57 @@ from blub_tpu.sim.slot_major import from_table
 G = (16, 16, 16)
 
 
+def _decode(posq):
+    """rel16 posq [K, 2, ...] -> (pos f32 [K, 3, ...] global, valid bool).
+    Independent numpy decode of the layout in sim/slot_major.py."""
+    b0 = posq[:, 0].view(np.int32)
+    b1 = posq[:, 1].view(np.int32)
+    rs = (b0 >> 16, (b0 << 16) >> 16, b1 >> 16)
+    shape = b0.shape
+    pos = np.stack(
+        [
+            np.arange(shape[1 + a], dtype=np.float32).reshape(
+                (1,) + (1,) * a + (-1,) + (1,) * (2 - a)
+            )
+            + 1.0
+            + rs[a].astype(np.float32) * np.float32(2.0 ** -13)
+            for a in range(3)
+        ],
+        axis=1,
+    )
+    return pos, (b1 & 1) == 1
+
+
+def _encode(pos, valid):
+    """(pos, valid) -> rel16 posq channels; inverse of _decode."""
+    shape = valid.shape
+    rs = []
+    for a in range(3):
+        cell = np.arange(shape[1 + a], dtype=np.float32).reshape(
+            (1,) + (1,) * a + (-1,) + (1,) * (2 - a)
+        )
+        r = np.round((pos[:, a] - cell - 1.0) * np.float32(8192.0)).astype(np.int32)
+        rs.append(np.where(valid, r, 0))
+    vbit = valid.astype(np.int32)
+    ch0 = ((rs[0] << 16) | (rs[1] & 0xFFFF)).view(np.float32)
+    ch1 = ((rs[2] << 16) | vbit).view(np.float32)
+    return np.stack([ch0, ch1], axis=1)
+
+
 def _target(p, dim):
     return np.clip(np.floor(p - 0.5), 0.0, float(dim - 1)).astype(np.float32)
 
 
-def _pack_axis_spec(posq, dyn, axis, s, k_out, dim_a):
-    """Reference simulator of one _pack_core stage on [K, C, X, Y, Z] arrays.
-    Returns (posq_out, dyn_out, dropped_count)."""
-    k_in = posq.shape[0]
-    shape = posq.shape[2:]
-    out_p = np.zeros((k_out,) + posq.shape[1:], posq.dtype)
+def _pack_axis_spec(pos, valid, dyn, axis, s, k_out, dim_a):
+    """Reference simulator of one _pack_core stage on decoded positions
+    [K, 3, X, Y, Z] + valid [K, X, Y, Z] + opaque dyn payload. Returns
+    (pos_out, valid_out, dyn_out, dropped_count). Positions are GLOBAL here;
+    the caller re-encodes cell-relative — which exercises the kernel's
+    payload rebasing independently."""
+    k_in = pos.shape[0]
+    shape = valid.shape[1:]
+    out_pos = np.zeros((k_out,) + pos.shape[1:], pos.dtype)
+    out_v = np.zeros((k_out,) + valid.shape[1:], bool)
     out_d = np.zeros((k_out,) + dyn.shape[1:], dyn.dtype)
     dropped = 0
     for cell in np.ndindex(shape):
@@ -49,12 +90,13 @@ def _pack_axis_spec(posq, dyn, axis, s, k_out, dim_a):
         movers = []
         # stayers keep slots; tail stayers (q >= k_out) queue first
         for q in range(k_in):
-            if posq[(q, 3) + cell] <= 0.5:
+            if not valid[(q,) + cell]:
                 continue
-            tgt = _target(posq[(q, axis) + cell], dim_a)
+            tgt = _target(pos[(q, axis) + cell], dim_a)
             if tgt == float(cell[axis]):
                 if q < k_out:
-                    out_p[(q, slice(None)) + cell] = posq[(q, slice(None)) + cell]
+                    out_pos[(q, slice(None)) + cell] = pos[(q, slice(None)) + cell]
+                    out_v[(q,) + cell] = True
                     out_d[(q, slice(None)) + cell] = dyn[(q, slice(None)) + cell]
                     taken[q] = True
                 else:
@@ -67,9 +109,9 @@ def _pack_axis_spec(posq, dyn, axis, s, k_out, dim_a):
                 continue
             src = tuple(src)
             for q in range(k_in):
-                if posq[(q, 3) + src] <= 0.5:
+                if not valid[(q,) + src]:
                     continue
-                if _target(posq[(q, axis) + src], dim_a) == float(cell[axis]):
+                if _target(pos[(q, axis) + src], dim_a) == float(cell[axis]):
                     movers.append((q,) + src)
         empties = [q for q in range(k_out) if not taken[q]]
         for rank, mv in enumerate(movers):
@@ -78,22 +120,23 @@ def _pack_axis_spec(posq, dyn, axis, s, k_out, dim_a):
                 break
             qo = empties[rank]
             q, src = mv[0], mv[1:]
-            out_p[(qo, slice(None)) + cell] = posq[(q, slice(None)) + src]
+            out_pos[(qo, slice(None)) + cell] = pos[(q, slice(None)) + src]
+            out_v[(qo,) + cell] = True
             out_d[(qo, slice(None)) + cell] = dyn[(q, slice(None)) + src]
-    return out_p, out_d, dropped
+    return out_pos, out_v, out_d, dropped
 
 
 def _rebin_spec(sm, max_shift, slack):
     """x, y, z stages exactly as rebin_slot_major composes them."""
     x, y, z = sm.grid_dim
     k = sm.capacity
-    posq = np.asarray(sm.posq)[:, :, :, :, :z]
+    pos, valid = _decode(np.asarray(sm.posq)[:, :, :, :, :z])
     dyn = np.asarray(sm.dyn)[:, :, :, :, :z]
     k_mid = k + slack
-    posq, dyn, d0 = _pack_axis_spec(posq, dyn, 0, max_shift, k_mid, x)
-    posq, dyn, d1 = _pack_axis_spec(posq, dyn, 1, max_shift, k_mid, y)
-    posq, dyn, d2 = _pack_axis_spec(posq, dyn, 2, max_shift, k, z)
-    return posq, dyn, d0 + d1 + d2
+    pos, valid, dyn, d0 = _pack_axis_spec(pos, valid, dyn, 0, max_shift, k_mid, x)
+    pos, valid, dyn, d1 = _pack_axis_spec(pos, valid, dyn, 1, max_shift, k_mid, y)
+    pos, valid, dyn, d2 = _pack_axis_spec(pos, valid, dyn, 2, max_shift, k, z)
+    return _encode(pos, valid), dyn, d0 + d1 + d2
 
 
 def _crammed_table(k, seed, amp):
@@ -111,6 +154,8 @@ def _crammed_table(k, seed, amp):
     newpos = np.clip(
         np.asarray(tab.pos) + d * np.asarray(tab.valid)[..., None], 1.001, 14.999
     )
+    # rel16 position grid (sim/slot_major.quantize_pos)
+    newpos = (np.round(newpos * np.float32(8192.0)) * np.float32(2.0 ** -13)).astype(np.float32)
     return dataclasses.replace(tab, pos=jnp.asarray(newpos))
 
 
@@ -149,6 +194,7 @@ def test_no_overflow_placement_matches_spec():
     rng = np.random.default_rng(11)
     move = (rng.random(np.asarray(tab.pos).shape) * 2 - 1).astype(np.float32) * 0.4
     newpos = np.clip(np.asarray(tab.pos) + move * v[..., None], 1.001, 14.999)
+    newpos = (np.round(newpos * np.float32(8192.0)) * np.float32(2.0 ** -13)).astype(np.float32)
     sm = from_table(
         dataclasses.replace(tab, pos=jnp.asarray(newpos), valid=jnp.asarray(v))
     )

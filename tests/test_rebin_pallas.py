@@ -19,6 +19,15 @@ from blub_tpu.sim.slot_major import from_table, to_table
 G = (16, 16, 16)
 
 
+
+
+def _q(pos_np):
+    """Positions land on the rel16 grid (sim/slot_major.quantize_pos): every
+    production position store quantizes, so perturbed fixtures must too for
+    the XLA-oracle multisets to match the slot-major kernels bit for bit."""
+    return (np.round(pos_np * np.float32(8192.0)) * np.float32(2.0 ** -13)).astype(np.float32)
+
+
 def _table(k=8, seed=0, fill=(9, 8, 15)):
     pos = add_fluid_cube(G, (1, 1, 1), fill, 10**9)
     tab = T.from_positions(pos, G, k)
@@ -38,7 +47,7 @@ def _moved(tab, scale, seed):
         1.001,
         np.asarray(G, np.float32) - 1.001,
     )
-    return dataclasses.replace(tab, pos=jnp.asarray(newpos))
+    return dataclasses.replace(tab, pos=jnp.asarray(_q(newpos)))
 
 
 def _cell_multiset(tab):
@@ -73,8 +82,8 @@ def _assert_equivalent(tab, max_shift):
     assert a == b, f"multiset mismatch: only-ref={len(a - b)} only-kernel={len(b - a)}"
     # the kernel output must keep the invariant that invalid slots are all-zero
     sm = rebin_slot_major(from_table(tab), max_shift, interpret=True)
-    invalid = np.asarray(sm.posq[:, 3:4]) < 0.5  # [K,1,X,Y,Zp]
-    assert not np.any(np.abs(np.asarray(sm.posq[:, :3])) * invalid)
+    invalid = (np.asarray(sm.posq[:, 1:2]).view(np.int32) & 1) == 0  # rel16 valid bit
+    assert not np.any(np.asarray(sm.posq).view(np.int32) * invalid)
     assert not np.any(np.abs(np.asarray(sm.dyn)) * invalid)
 
 

@@ -95,6 +95,26 @@ def test_dashboard_renders_and_handles_keys():
     assert dash.handle_key("q") is False
 
 
+def test_dashboard_scene_switching(monkeypatch):
+    """[n]/[p] cycle through the scenes/ folder live (the reference GUI's
+    scene selector, gui/mod.rs:24-34, 345; VERDICT r4 next #8)."""
+    import blub_tpu.core.config as cfgmod
+    from blub_tpu.gui.dashboard import Dashboard
+
+    scene = Scene(_mini_scene(), SimSettings())
+    ctl = SimulationController(scene)
+    dash = Dashboard(ctl)
+    # restrict the scan to the 8-particle debug scene so the switch is cheap
+    scenes = [p for p in cfgmod.list_scenes() if p.stem == "single_cell_debug"]
+    assert scenes, "scenes/single_cell_debug.json must exist"
+    monkeypatch.setattr(cfgmod, "list_scenes", lambda: scenes)
+    assert dash.handle_key("n") is True
+    assert ctl.scene.config.name == "single_cell_debug"
+    assert ctl.total_steps == 0  # switch restarts the controller
+    assert dash.handle_key("p") is True  # wraps around the 1-entry list
+    assert ctl.scene.config.name == "single_cell_debug"
+
+
 def test_solver_stats_nonblocking():
     """block=False never raises, converges to the blocking values within a
     couple of polls, and survives state donation between polls

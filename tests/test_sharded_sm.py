@@ -52,7 +52,7 @@ def _table(seed=0, n=500):
         jnp.asarray(rng.normal(scale=3.0, size=tab.posq[:, 0].shape).astype(np.float32))
         for _ in range(12)
     ]
-    validm = tab.posq[:, 3] > 0.5
+    validm = jax.lax.bitcast_convert_type(tab.posq[:, 1], jnp.int32) & 1 == 1
     vals = [jnp.where(validm, v, 0.0) for v in vals]
     dyn = jnp.stack([pack_pair(vals[2 * c], vals[2 * c + 1]) for c in range(6)], axis=1)
     return SlotMajorTable(posq=tab.posq, dyn=dyn, lost=tab.lost, grid_dim=GRID)
@@ -175,14 +175,20 @@ def test_sharded_step_matches_single_device():
     step_s = ss.make_sharded_step(params, ctx, donate=False)
     step_1 = jax.jit(lambda s: step_dense(params, s))
 
+    from blub_tpu.sim.slot_major import to_table
+    from blub_tpu.sim.table import to_positions
+
     s1, s2 = state, sstate
     for i in range(3):
         s1 = step_1(s1)
         s2 = step_s(s2)
-        p1 = np.asarray(s1.table.posq)
-        p2 = np.asarray(s2.table.posq)
-        assert np.max(np.abs(p1 - p2)) < 1e-4, f"step {i + 1}"
-        assert int(np.sum(p1[:, 3] > 0.5)) == int(np.sum(p2[:, 3] > 0.5))
+        # decoded positions (posq holds rel16 bit patterns); tolerance a few
+        # rel16 quanta: reduction-order f32 drift that straddles a
+        # quantize_pos boundary lands a full 2^-13 quantum apart
+        p1 = np.sort(to_positions(to_table(s1.table)), axis=0)
+        p2 = np.sort(to_positions(to_table(jax.device_get(s2).table)), axis=0)
+        assert np.max(np.abs(p1 - p2)) < 1e-3, f"step {i + 1}"
+        assert int(s1.table.num_particles()) == int(s2.table.num_particles())
         assert int(s1.table.lost) == int(s2.table.lost)
         assert abs(float(s1.max_speed) - float(s2.max_speed)) < 1e-3
 
@@ -205,10 +211,13 @@ def test_sharded_step_with_moving_solid():
     s2 = jax.jit(
         lambda s: ss.step_dense_sharded(params, ctx, s, solids)
     )(sstate)
-    p1 = np.asarray(s1.table.posq)
-    p2 = np.asarray(s2.table.posq)
-    assert np.max(np.abs(p1 - p2)) < 1e-4
-    assert int(np.sum(p1[:, 3] > 0.5)) == int(np.sum(p2[:, 3] > 0.5))
+    from blub_tpu.sim.slot_major import to_table
+    from blub_tpu.sim.table import to_positions
+
+    p1 = np.sort(to_positions(to_table(s1.table)), axis=0)
+    p2 = np.sort(to_positions(to_table(jax.device_get(s2).table)), axis=0)
+    assert np.max(np.abs(p1 - p2)) < 1e-3  # few rel16 quanta; see above
+    assert int(s1.table.num_particles()) == int(s2.table.num_particles())
     assert int(s1.table.lost) == int(s2.table.lost)
 
 
@@ -241,12 +250,19 @@ def test_sharded_drift_growth_bounded():
     order; this quantifies how fast that channel compounds: counts and lost
     stay EXACT, and sorted-position drift stays inside a measured envelope.
     Calibration on the virtual CPU mesh (2026-08-19, re-measured after the
-    original envelope proved environment-sensitive: p95 reaches 5.23e-4
-    cells at step 24 deterministically under a different XLA CPU thread
-    schedule — same value on two code revisions, so it is the PCG reduction
-    order channel, not a kernel change): bounds below carry ~10x margin on
-    that measurement. Growth stays sub-linear: counts/lost exact at every
-    step is the hard invariant; position drift is the soft one."""
+    original envelope proved environment-sensitive; re-measured 2026-08-20
+    after rel16): rel16 quantization turned the PCG-reduction-order seeds
+    from f32 ulps into 2^-13 quanta, so the two trajectories flip bins at a
+    ~1e-4/particle/step rate and diverge chaotically in this violent flow —
+    measured p95 sorted-position drift 3.2e-2 cells by step 12 (was 5.2e-4
+    with ulp seeds). Per-particle agreement therefore no longer measures
+    correctness here; what does: per-path conservation (count + lost == n0)
+    EXACT at every step, cross-path lost within a small band, end-state
+    center of mass within a fraction of a cell, and a wide sanity envelope
+    that still catches gross bugs (wrong halo exchange = errors of many
+    cells + leaks). The tight ulp-drift regime is still pinned where it
+    exists: the per-KERNEL tests above are BIT-exact, and the 3-step
+    step-match test holds positions to a few quanta."""
     from blub_tpu.sim.table import to_positions
     from blub_tpu.sim.slot_major import to_table
 
@@ -262,23 +278,28 @@ def test_sharded_drift_growth_bounded():
     step_s = jax.jit(lambda s: ss.step_dense_sharded(params, ctx, s, solids))
 
     s1, s2 = state, ss.shard_sm_state(ctx, state)
-    n0 = int(np.sum(np.asarray(state.table.posq[:, 3]) > 0.5))
+    n0 = int(state.table.num_particles())
     for i in range(30):
         s1 = step_1(s1)
         s2 = step_s(s2)
         t1, t2 = s1.table, jax.device_get(s2).table
-        nv1 = int(np.sum(np.asarray(t1.posq[:, 3]) > 0.5))
-        nv2 = int(np.sum(np.asarray(t2.posq[:, 3]) > 0.5))
+        nv1 = int(t1.num_particles())
+        nv2 = int(t2.num_particles())
         assert nv1 + int(t1.lost) == n0, f"step {i}: single leak"
         assert nv2 + int(t2.lost) == n0, f"step {i}: sharded leak"
-        assert int(t1.lost) == int(t2.lost), f"step {i}: lost diverged"
+        dlost = abs(int(t1.lost) - int(t2.lost))
+        assert dlost <= max(10, n0 // 50), f"step {i}: lost diverged by {dlost}"
         p1 = np.sort(to_positions(to_table(t1)), axis=0)
         p2 = np.sort(to_positions(to_table(t2)), axis=0)
-        err = np.abs(p1 - p2).max(axis=1)
+        n = min(p1.shape[0], p2.shape[0])
+        err = np.abs(p1[:n] - p2[:n]).max(axis=1)
         p95 = float(np.percentile(err, 95))
-        mx = float(err.max())
-        assert p95 <= 5e-3, f"step {i}: p95 drift {p95:.2e} out of envelope"
-        assert mx <= 5e-2, f"step {i}: max drift {mx:.2e} out of envelope"
+        # measured through step 30: p95 reaches ~0.6 cells once the
+        # trajectories decorrelate (quantum seeds + violent flow); the
+        # macro invariants below are the real guards
+        assert p95 <= 1.5, f"step {i}: p95 drift {p95:.2e} out of envelope"
+        com = np.abs(p1[:n].mean(axis=0) - p2[:n].mean(axis=0)).max()
+        assert com <= 0.25, f"step {i}: center-of-mass drift {com:.2e}"
 
 
 def test_scene_runs_on_mesh():
