@@ -345,4 +345,6 @@ def fluid_pass_device(
         w=w, h=h, radius=float(radius), grid_to_world=float(grid_to_world),
         particle_radius_w=float(radius),
     )
-    return np.asarray(out_rgb), np.asarray(out_depth)
+    # writable copies: np.asarray of a jax array is a READ-ONLY view, and the
+    # renderer's later passes (velocity lines, bounds box) write in place
+    return np.array(out_rgb), np.array(out_depth)

